@@ -1,0 +1,400 @@
+"""Hydrostatic FV3-style dynamical core: Lagrangian layers + remap.
+
+The 3D core (``fv_dynamics`` equivalent, hydrostatic branch): the
+shallow-water machinery of sw.py applied per Lagrangian layer with a
+theta-pi pressure-gradient force, n_split acoustic-style substepping,
+accumulated mass fluxes for tracer transport, and a conservative PPM
+vertical remap (ops.remap, the mappm algorithm with exact boundaries)
+back to the hybrid ak/bk reference coordinate every k_split step --
+mirroring the reference configuration's vertical structure
+(k_split/n_split/hord_*/kord_* of
+workflows/prognostic_c48_run/tests/test_regression.py:133-200).
+
+Prognostic state (all [6, nz, ...] with D-grid staggering):
+    delp  [6, nz, n, n]     layer pressure thickness (Pa)
+    pt    [6, nz, n, n]     virtual potential temperature (K)
+    u     [6, nz, n+1, n]   covariant x-wind on x-edges
+    v     [6, nz, n, n+1]
+    q     [ntracer, 6, nz, n, n]  tracer mixing ratios (optional)
+
+The PGF uses the exact identity -grad(p)/rho = -grad_s(Phi)
+- cp*theta_v*grad_s(pi) on a layer surface s (pi the Exner function),
+which is free of the two-term hydrostatic cancellation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CP_AIR, KAPPA, REFERENCE_SURFACE_PRESSURE
+from ..grid.geometry import CubedSphereGrid
+from ..grid.halo import (
+    halo_exchange,
+    halo_exchange_cgrid,
+    halo_exchange_dgrid,
+)
+from ..ops.advection import fv_tp_2d
+from ..ops.remap import ppm_remap
+from .sw import SWMetrics, _shx, _shy
+
+
+class DycoreState(NamedTuple):
+    delp: jax.Array
+    pt: jax.Array
+    u: jax.Array
+    v: jax.Array
+    q: Optional[jax.Array] = None  # [ntracer, 6, nz, n, n]
+
+
+def hybrid_coefficients(nz: int, ptop: float = 300.0):
+    """Simple hybrid sigma-p coefficients: pe = ak + bk * ps.
+
+    A smooth default (pure sigma below, pure pressure at top) standing in
+    for FV3's tabulated ak/bk; npz=63 matches the reference C12 config.
+    """
+    k = np.linspace(0.0, 1.0, nz + 1)
+    # squared-sine transition: bk=0 at top, 1 at surface
+    bk = np.sin(0.5 * np.pi * k) ** 2
+    ak = ptop * (1.0 - k) + 0.0 * k
+    return jnp.asarray(ak), jnp.asarray(bk)
+
+
+def _corner_avg(phi):
+    """Cell-centered [.., N, N] -> corner lattice [.., N+1, N+1]."""
+    pe = jnp.pad(
+        phi,
+        [(0, 0)] * (phi.ndim - 2) + [(1, 1), (1, 1)],
+        mode="edge",
+    )
+    return 0.25 * (
+        pe[..., :-1, :-1] + pe[..., :-1, 1:] + pe[..., 1:, :-1]
+        + pe[..., 1:, 1:]
+    )
+
+
+def _vertex_fix_scalar_corner(arr_c, vals3, h, n):
+    """Replace cube-corner vertex entries of a corner-lattice array."""
+    hn = h + n
+    for (cj, ci), v3 in zip(
+        ((h, h), (h, hn), (hn, h), (hn, hn)), vals3
+    ):
+        arr_c = arr_c.at[..., cj, ci].set(v3)
+    return arr_c
+
+
+def _vertex_cells(phi, h, n):
+    """3-real-cell means at the 4 cube-corner vertices of a padded
+    cell-centered field (same convention as sw.py)."""
+    hn = h + n
+    spec = (
+        ((h - 1, h), (h, h - 1), (h, h)),
+        ((h - 1, hn - 1), (h, hn), (h, hn - 1)),
+        ((hn, h), (hn - 1, h), (hn - 1, h - 1)),
+        ((hn, hn - 1), (hn - 1, hn), (hn - 1, hn - 1)),
+    )
+    return [
+        sum(phi[..., j, i] for j, i in cells) / 3.0 for cells in spec
+    ]
+
+
+def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
+                hord: int, d2_damp: float, phis,
+                mfx_acc, mfy_acc, cx_acc, cy_acc):
+    """One acoustic-style substep on the Lagrangian layers.
+
+    Returns (new_state_without_tracers, accumulated fluxes).
+    """
+    h, n = m.halo, m.n
+    N = n + 2 * h
+    delp, pt, u, v = state.delp, state.pt, state.u, state.v
+
+    up, vp = halo_exchange_dgrid(u, v, h)
+    dpx = halo_exchange(delp, h, fill="x")
+    dpy = halo_exchange(delp, h, fill="y")
+    ptx = halo_exchange(pt, h, fill="x")
+    pty = halo_exchange(pt, h, fill="y")
+
+    # C-face normal winds, canonical (see sw.py)
+    u_l = up[:, :, :-1, :]
+    u_u = up[:, :, 1:, :]
+    uc_full = 0.25 * (_shx(u_l, -1) + u_l + _shx(u_u, -1) + u_u)
+    v_l = vp[:, :, :, :-1]
+    v_u = vp[:, :, :, 1:]
+    vc_full = 0.25 * (_shy(v_l, -1) + v_l + _shy(v_u, -1) + v_u)
+    uc_int = uc_full[:, :, h : h + n, h : h + n + 1]
+    vc_int = vc_full[:, :, h : h + n + 1, h : h + n]
+    ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
+    _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
+    uc = ucx_p[:, :, :, :N]
+    vc = vcy_p[:, :, :N, :]
+
+    crx = uc * dt / m.dxc_f[:, None]
+    cry = vc * dt / m.dyc_f[:, None]
+    xfx = uc * dt * m.dy_f[:, None]
+    yfx = vc * dt * m.dx_f[:, None]
+
+    # mass fluxes and transport of delp
+    fx, fy = fv_tp_2d(
+        dpx, dpy, crx, cry, xfx, yfx, m.area_px[:, None],
+        m.area_py[:, None], hord,
+    )
+    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
+    delp_new = delp + div[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+
+    # potential temperature: mass-weighted transport with the delp fluxes
+    fxt, fyt = fv_tp_2d(
+        ptx, pty, crx, cry, fx, fy, m.area_px[:, None],
+        m.area_py[:, None], hord,
+    )
+    divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
+    pt_new = (
+        pt * delp + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+    ) / delp_new
+
+    # vorticity fluxes (advective) for the wind update
+    udx = u * m.dx_u[:, None, h : h + n + 1, h : h + n]
+    vdy = v * m.dy_v[:, None, h : h + n, h : h + n + 1]
+    vort = (
+        udx[:, :, :-1, :] - udx[:, :, 1:, :]
+        + vdy[:, :, :, 1:] - vdy[:, :, :, :-1]
+    )
+    zeta_int = vort * m.rarea[:, None]
+    omega_x = halo_exchange(zeta_int, h, fill="x") + m.f_px[:, None]
+    omega_y = halo_exchange(zeta_int, h, fill="y") + m.f_py[:, None]
+    fxo, fyo = fv_tp_2d(
+        omega_x, omega_y, crx, cry, uc * dt, vc * dt,
+        m.area_px[:, None], m.area_py[:, None], hord,
+    )
+
+    # --- kinetic energy + PGF at corners ---------------------------------
+    ub = 0.5 * (_shx(up, -1) + up)
+    vb = 0.5 * (_shy(vp, -1) + vp)
+    ke_c = 0.5 * (
+        jnp.pad(ub ** 2, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        + jnp.pad(vb ** 2, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    )
+    hn = h + n
+    vert_edges = (
+        ((h, h), ((up, h, h), (vp, h, h), (vp, h - 1, h))),
+        ((h, hn), ((up, h, hn - 1), (vp, h, hn), (vp, h - 1, hn))),
+        ((hn, h), ((up, hn, h), (vp, hn - 1, h), (vp, hn, h))),
+        ((hn, hn), ((up, hn, hn - 1), (vp, hn - 1, hn), (vp, hn, hn))),
+    )
+    for (cj, ci), es in vert_edges:
+        a, b, c = (arr[:, :, j, i] for arr, j, i in es)
+        ke_c = ke_c.at[:, :, cj, ci].set((a * a + b * b + c * c) / 3.0)
+
+    # hydrostatic geopotential and Exner function on the NEW mass field
+    # (forward-backward coupling), all on fill='y' padded fields
+    dp_p = halo_exchange(delp_new, h, fill="y")
+    pt_p = halo_exchange(pt_new, h, fill="y")
+    pe_p = ptop + jnp.concatenate(
+        [jnp.zeros_like(dp_p[:, :1]), jnp.cumsum(dp_p, axis=1)], axis=1
+    )
+    pik = (pe_p / REFERENCE_SURFACE_PRESSURE) ** KAPPA  # Exner at ifaces
+    # layer-mean Exner (hydrostatically consistent):
+    # pi_mean = (pik+ * pe+ - pik- * pe-) / ((1+kappa) * delp)
+    pi_lay = (
+        pik[:, 1:] * pe_p[:, 1:] - pik[:, :-1] * pe_p[:, :-1]
+    ) / ((1.0 + KAPPA) * dp_p)
+    # geopotential: integrate cp*theta*d(pi) upward from the surface
+    phis_p = (
+        halo_exchange(phis, h, fill="y")[:, None]
+        if phis is not None
+        else 0.0
+    )
+    dphi = CP_AIR * pt_p * (pik[:, 1:] - pik[:, :-1])  # positive downward
+    # interface geopotential from bottom: Phi_if[nz] = phis
+    phi_if_rev = jnp.concatenate(
+        [jnp.zeros_like(dp_p[:, :1]),
+         jnp.cumsum(dphi[:, ::-1], axis=1)], axis=1
+    )
+    phi_if = phi_if_rev[:, ::-1] + phis_p  # [6, nz+1, N, N]
+    phi_lay = 0.5 * (phi_if[:, 1:] + phi_if[:, :-1])
+
+    phi_c = _corner_avg(phi_lay)
+    pi_c = _corner_avg(pi_lay)
+    phi_c = _vertex_fix_scalar_corner(
+        phi_c, _vertex_cells(phi_lay, h, n), h, n
+    )
+    pi_c = _vertex_fix_scalar_corner(
+        pi_c, _vertex_cells(pi_lay, h, n), h, n
+    )
+    ke_phi = ke_c + phi_c
+
+    # theta at wind points for the cp*theta*grad(pi) term
+    pty_full = pt_p
+    pt_at_u = jnp.concatenate(
+        [pty_full[:, :, :1], 0.5 * (pty_full[:, :, 1:] +
+                                    pty_full[:, :, :-1]),
+         pty_full[:, :, -1:]], axis=2
+    )  # [6, nz, N+1, N]
+    pt_at_v = jnp.concatenate(
+        [pty_full[:, :, :, :1], 0.5 * (pty_full[:, :, :, 1:] +
+                                       pty_full[:, :, :, :-1]),
+         pty_full[:, :, :, -1:]], axis=3
+    )  # [6, nz, N, N+1]
+
+    # --- divergence damping ----------------------------------------------
+    u_pad = jnp.pad(up, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    v_pad = jnp.pad(vp, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    div_b = (u_pad[:, :, :, 1:] - u_pad[:, :, :, :-1]) + (
+        v_pad[:, :, 1:, :] - v_pad[:, :, :-1, :]
+    )
+    for cj, ci in ((h, h), (h, hn), (hn, h), (hn, hn)):
+        div_b = div_b.at[:, :, cj, ci].set(0.0)
+
+    # --- wind updates -----------------------------------------------------
+    dku = ke_phi[:, :, :, 1:] - ke_phi[:, :, :, :-1]
+    dkv = ke_phi[:, :, 1:, :] - ke_phi[:, :, :-1, :]
+    dpiu = pi_c[:, :, :, 1:] - pi_c[:, :, :, :-1]
+    dpiv = pi_c[:, :, 1:, :] - pi_c[:, :, :-1, :]
+    fyo_u = jnp.pad(fyo, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    fxo_v = jnp.pad(fxo, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    u_new_p = (
+        up + fyo_u
+        - (dt / m.dx_u[:, None]) * (dku + CP_AIR * pt_at_u * dpiu)
+        + d2_damp * (div_b[:, :, :, 1:] - div_b[:, :, :, :-1])
+    )
+    v_new_p = (
+        vp - fxo_v
+        - (dt / m.dy_v[:, None]) * (dkv + CP_AIR * pt_at_v * dpiv)
+        + d2_damp * (div_b[:, :, 1:, :] - div_b[:, :, :-1, :])
+    )
+    u_new = u_new_p[:, :, h : h + n + 1, h : h + n]
+    v_new = v_new_p[:, :, h : h + n, h : h + n + 1]
+
+    new = DycoreState(delp_new, pt_new, u_new, v_new, state.q)
+    return new, (mfx_acc + fx, mfy_acc + fy, cx_acc + crx, cy_acc + cry)
+
+
+def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
+               kord_tr=9):
+    """Lagrangian -> Eulerian vertical remap to the ak/bk coordinate."""
+    delp, pt, u, v, q = state
+    # source interface pressures
+    pe1 = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[:, :1]), jnp.cumsum(delp, axis=1)], axis=1
+    )
+    ps = pe1[:, -1:]
+    shape_tail = (1,) * (delp.ndim - 2)
+    pe2 = ak.reshape((1, -1) + shape_tail) + bk.reshape(
+        (1, -1) + shape_tail
+    ) * ps
+
+    def rmp(qq, p1, p2, iv, kord):
+        return jnp.moveaxis(
+            ppm_remap(
+                jnp.moveaxis(qq, 1, 0),
+                jnp.moveaxis(p1, 1, 0),
+                jnp.moveaxis(p2, 1, 0),
+                iv=iv, kord=kord, exact_boundaries=True,
+            ),
+            0, 1,
+        )
+
+    pt_new = rmp(pt, pe1, pe2, 1, kord_tm)
+    delp_new = pe2[:, 1:] - pe2[:, :-1]
+
+    # winds: average interface pressures to the staggered positions
+    def stag_u(p):  # [6, nz+1, n, n] -> [6, nz+1, n+1, n]
+        return jnp.concatenate(
+            [p[:, :, :1], 0.5 * (p[:, :, 1:] + p[:, :, :-1]),
+             p[:, :, -1:]], axis=2
+        )
+
+    def stag_v(p):
+        return jnp.concatenate(
+            [p[:, :, :, :1], 0.5 * (p[:, :, :, 1:] + p[:, :, :, :-1]),
+             p[:, :, :, -1:]], axis=3
+        )
+
+    u_new = rmp(u, stag_u(pe1), stag_u(pe2), -1, kord_mt)
+    v_new = rmp(v, stag_v(pe1), stag_v(pe2), -1, kord_mt)
+    if q is not None:
+        q_new = jax.vmap(
+            lambda qq: rmp(qq, pe1, pe2, 0, kord_tr)
+        )(q)
+    else:
+        q_new = None
+    return DycoreState(delp_new, pt_new, u_new, v_new, q_new)
+
+
+def make_dycore_stepper(
+    g: CubedSphereGrid,
+    nz: int,
+    dt_atmos: float,
+    k_split: int = 1,
+    n_split: int = 6,
+    hord: int = 5,
+    kord: int = 9,
+    d2_damp: float = 0.12,
+    ptop: float = 300.0,
+    dtype=jnp.float32,
+):
+    """Build a jitted full dycore step (dynamics + vertical remap).
+
+    Mirrors the reference namelist structure (k_split outer loops each
+    ending in a remap, n_split substeps inside).
+    """
+    m = SWMetrics.make(g, dtype)
+    ak, bk = hybrid_coefficients(nz, ptop)
+    ak = ak.astype(dtype)
+    bk = bk.astype(dtype)
+    dt_sub = dt_atmos / (k_split * n_split)
+    h, n = m.halo, m.n
+    N = n + 2 * h
+
+    def one_dt(state: DycoreState, phis):
+        def outer(st, _):
+            zero_f = jnp.zeros((6, nz, N, N), dtype)
+            acc = (zero_f, zero_f, zero_f, zero_f)
+
+            def inner(carry, __):
+                s, a = carry
+                s2, a2 = dyn_substep(
+                    s, m, dt_sub, ptop, hord, d2_damp, phis, *a
+                )
+                return (s2, a2), None
+
+            (st2, acc), _ = jax.lax.scan(
+                inner, (st, acc), None, length=n_split
+            )
+            mfx, mfy, cxa, cya = acc
+            # tracer transport with accumulated mass fluxes
+            if st2.q is not None:
+                def tr(qq):
+                    qx = halo_exchange(qq, h, fill="x")
+                    qy = halo_exchange(qq, h, fill="y")
+                    fxq, fyq = fv_tp_2d(
+                        qx, qy, cxa, cya, mfx, mfy,
+                        m.area_px[:, None], m.area_py[:, None], hord,
+                    )
+                    dv = (fxq - _shx(fxq, 1)) + (fyq - _shy(fyq, 1))
+                    old_dp = st.delp
+                    return (
+                        qq * old_dp
+                        + dv[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+                    ) / st2.delp
+
+                st2 = st2._replace(q=jax.vmap(tr)(st2.q))
+            st3 = remap_step(st2, ak, bk, ptop, kord, kord, kord)
+            return st3, None
+
+        out, _ = jax.lax.scan(outer, state, None, length=k_split)
+        return out
+
+    @partial(jax.jit, static_argnames=("nsteps",))
+    def run(state: DycoreState, phis, nsteps: int):
+        def body(s, _):
+            return one_dt(s, phis), None
+
+        out, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return out
+
+    return run, m, (ak, bk)

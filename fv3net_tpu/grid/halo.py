@@ -32,20 +32,29 @@ from . import topology as topo
 
 
 @lru_cache(maxsize=None)
-def _scalar_tables(n: int, h: int):
-    src_face, src_j, src_i, corner_mask = topo.halo_source_indices(n, h)
+def _scalar_tables(n: int, h: int, fill: str = "none"):
+    if fill == "none":
+        src_face, src_j, src_i, corner_mask = topo.halo_source_indices(n, h)
+    else:
+        src_face, src_j, src_i, corner_mask = (
+            topo.halo_source_indices_filled(n, h, fill)
+        )
     flat = (src_face * n + src_j) * n + src_i
     return flat, corner_mask
 
 
-def halo_exchange(field, h: int):
+def halo_exchange(field, h: int, fill: str = "none"):
     """Pad a cell-centered scalar [6, ..., n, n] with h halo cells.
 
-    Cube-corner halo regions are filled with the nearest edge value
-    (clipped index); use fill_corners_* before stencils that consume them.
+    fill='none': cube-corner halo slots get the nearest edge value
+    (clipped index) and must not be consumed by stencils.
+    fill='x' / 'y': corner slots are resolved to the true third-face
+    cells by row / column continuation -- the cube-topology-exact
+    version of FV3's copy_corners(dir=1/2) (tp_core.F90); use 'y' before
+    y-direction stencils that run on x-halo columns and vice versa.
     """
     n = field.shape[-1]
-    flat_idx, _ = _scalar_tables(n, h)
+    flat_idx, _ = _scalar_tables(n, h, fill)
     # move spatial+face dims last, flatten, gather, restore
     src = jnp.moveaxis(field, 0, -3)  # [..., 6, n, n]
     src = src.reshape(src.shape[:-3] + (6 * n * n,))
@@ -189,6 +198,175 @@ def _dgrid_tables(n: int, h: int):
         return flat, sign
 
     return build("u"), build("v")
+
+
+def _rot_matrix(rot: int) -> np.ndarray:
+    c, s = [(1, 0), (0, 1), (-1, 0), (0, -1)][rot]
+    return np.array([[c, -s], [s, c]])
+
+
+@lru_cache(maxsize=None)
+def _cgrid_tables(n: int, h: int, fill: str):
+    """Gather tables for C-grid (face-normal) staggered fields.
+
+    uc [6, n, n+1]: x-component stored on x-faces (between cells (j,i-1)
+    and (j,i), face index i); vc [6, n+1, n]: y-component on y-faces.
+    Used for C-grid winds, Courant numbers and mass fluxes.
+
+    Slots are resolved through the neighbor charts via the affine edge
+    maps; the component sign/swap comes from the chart rotation matrix.
+    Cube-corner slots are resolved by chart composition, ordered so the
+    value equals bit-for-bit what the strip-owning neighbor holds in its
+    own (single-map) halo -- the property that makes shared-edge fluxes
+    cancel exactly and keeps global mass conservation to roundoff.
+    fill='x' orders the composition for fields consumed by x-direction
+    stencils (first through the y-neighbor), 'y' the transpose.
+    """
+    assert fill in ("x", "y")
+    first = "y" if fill == "x" else "x"
+    N = n + 2 * h
+    nu = n * (n + 1)  # own uc size per face; vc offset = 6*nu
+
+    def uc_flat(g, j, i_face):
+        return (g * n + j) * (n + 1) + i_face
+
+    def vc_flat(g, j_face, i):
+        return 6 * nu + (g * (n + 1) + j_face) * n + i
+
+    def resolve(f, c1, c2):
+        """Map adjacent cell pair (possibly out of face) to the stored
+        face value: returns (flat, sign_x, sign_y) where sign_x/sign_y
+        are the coefficients for an x-normal / y-normal query slot."""
+        from .topology import _edge_map_affine, link, EDGE_W, EDGE_E, \
+            EDGE_S, EDGE_N
+
+        def extract(g, cells, M):
+            """Return the stored-value triple if the pair is a stored
+            face of face g (boundary faces included), else None.
+
+            value_f = M @ (u, v)_g (M maps neighbor components to
+            ours); only the mapped face's normal component is stored,
+            so the coefficient is the corresponding M entry.
+            """
+            (j1, i1), (j2, i2) = cells[0], cells[1]
+            if j1 == j2 and abs(i1 - i2) == 1:
+                if 0 <= j1 < n and 0 <= max(i1, i2) <= n:
+                    return (
+                        uc_flat(g, int(j1), int(max(i1, i2))),
+                        M[0, 0],
+                        M[1, 0],
+                    )
+            if i1 == i2 and abs(j1 - j2) == 1:
+                if 0 <= i1 < n and 0 <= max(j1, j2) <= n:
+                    return (
+                        vc_flat(g, int(max(j1, j2)), int(i1)),
+                        M[0, 1],
+                        M[1, 1],
+                    )
+            return None
+
+        M = np.eye(2, dtype=int)
+        g = f
+        cells = [np.array(c1), np.array(c2)]
+        for _ in range(3):
+            got = extract(g, cells, M)
+            if got is not None:
+                return got
+            out_j = [not (0 <= c[0] < n) for c in cells]
+            out_i = [not (0 <= c[1] < n) for c in cells]
+            # a chart change is only valid along a coordinate that is
+            # out of range for BOTH cells; when both coordinates qualify
+            # (genuine corner), use the fill preference
+            j_both = out_j[0] and out_j[1]
+            i_both = out_i[0] and out_i[1]
+            if j_both and i_both:
+                use_y = first == "y"
+            elif j_both:
+                use_y = True
+            elif i_both:
+                use_y = False
+            else:
+                raise RuntimeError("straddling pair cannot be resolved")
+            ref = cells[0] if (out_j[0] if use_y else out_i[0]) else cells[1]
+            if use_y:
+                e = EDGE_S if ref[0] < 0 else EDGE_N
+            else:
+                e = EDGE_W if ref[1] < 0 else EDGE_E
+            l = link(g, e)
+            A, b = _edge_map_affine(l, n)
+            cells = [A @ c + b for c in cells]
+            M = _rot_matrix(l.rot) @ M
+            g = l.nbr_face
+        raise RuntimeError(f"cgrid resolve failed: {cells}")
+
+    def build(kind):
+        if kind == "uc":
+            shp = (6, N, N + 1)
+        else:
+            shp = (6, N + 1, N)
+        flat = np.zeros(shp, dtype=np.int64)
+        sign = np.zeros(shp, dtype=np.float64)
+        for f in range(6):
+            for a in range(shp[1]):
+                for b_ in range(shp[2]):
+                    if kind == "uc":
+                        # x-face at padded (row a, face col b_): cells
+                        # (a-h, b_-h-1) and (a-h, b_-h)
+                        j = a - h
+                        c1 = (j, b_ - h - 1)
+                        c2 = (j, b_ - h)
+                        own = 0 <= j < n and h <= b_ <= h + n
+                        if own:
+                            flat[f, a, b_] = uc_flat(f, j, b_ - h)
+                            sign[f, a, b_] = 1.0
+                            continue
+                    else:
+                        i = b_ - h
+                        c1 = (a - h - 1, i)
+                        c2 = (a - h, i)
+                        own = 0 <= i < n and h <= a <= h + n
+                        if own:
+                            flat[f, a, b_] = vc_flat(f, a - h, i)
+                            sign[f, a, b_] = 1.0
+                            continue
+                    # skip slots whose cells cannot be resolved (beyond
+                    # the diagonal reach of two charts)
+                    try:
+                        fl, sx, sy = resolve(f, c1, c2)
+                    except (RuntimeError, ValueError, KeyError):
+                        continue
+                    s = sx if kind == "uc" else sy
+                    if s == 0:
+                        continue
+                    flat[f, a, b_] = fl
+                    sign[f, a, b_] = float(s)
+        return flat, sign
+
+    return build("uc"), build("vc")
+
+
+def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
+    """Halo-exchange C-grid (face-normal) components with corner fill.
+
+    uc: [6, ..., n, n+1] x-component at x-faces; vc: [6, ..., n+1, n].
+    Returns padded (uc [6,...,N,N+1], vc [6,...,N+1,N]), N = n+2h, with
+    halo AND cube-corner slots holding the neighbors' stored values
+    rotated into this face's frame (see _cgrid_tables).
+    """
+    n = uc.shape[-2]
+    (u_flat, u_sign), (v_flat, v_sign) = _cgrid_tables(n, h, fill)
+    usrc = jnp.moveaxis(uc, 0, -3)
+    usrc = usrc.reshape(usrc.shape[:-3] + (6 * n * (n + 1),))
+    vsrc = jnp.moveaxis(vc, 0, -3)
+    vsrc = vsrc.reshape(vsrc.shape[:-3] + (6 * (n + 1) * n,))
+    pool = jnp.concatenate([usrc, vsrc], axis=-1)
+    uo = jnp.take(pool, jnp.asarray(u_flat), axis=-1) * jnp.asarray(
+        u_sign, dtype=uc.dtype
+    )
+    vo = jnp.take(pool, jnp.asarray(v_flat), axis=-1) * jnp.asarray(
+        v_sign, dtype=vc.dtype
+    )
+    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
 
 
 def halo_exchange_dgrid(u, v, h: int):

@@ -223,6 +223,113 @@ def halo_source_indices(n: int, h: int):
     return src_face, src_j, src_i, corner_mask
 
 
+def _edge_map_affine(l: EdgeLink, n: int):
+    """The halo map of link l as an affine function of (J, I).
+
+    Maps a halo cell index (J, I) of face l.face (one coordinate out of
+    [0, n)) to the neighbor cell (l.nbr_face, J', I').  Returned as
+    (A, b): [J', I'] = A @ [J, I] + b, valid for slots beyond edge l.edge.
+    Being affine, it can be *extended* beyond its nominal domain -- which
+    is how cube-corner cells are resolved (see resolve_corner_cell).
+    """
+
+    def neg(t):
+        # affine map x -> n - 1 - x on a coefficient triple (cJ, cI, c0)
+        return (-t[0], -t[1], n - 1 - t[2])
+
+    # depth/along of the halo slot as affine triples (cJ, cI, const)
+    if l.edge == EDGE_W:
+        depth, along = (0, -1, -1), (1, 0, 0)
+    elif l.edge == EDGE_E:
+        depth, along = (0, 1, -n), (1, 0, 0)
+    elif l.edge == EDGE_S:
+        depth, along = (-1, 0, -1), (0, 1, 0)
+    else:
+        depth, along = (1, 0, -n), (0, 1, 0)
+    if l.flip:
+        along = neg(along)
+    # neighbor cell (J', I') from (depth, along) per _cell_of
+    e2 = l.nbr_edge
+    if e2 == EDGE_W:
+        j_aff, i_aff = along, depth
+    elif e2 == EDGE_E:
+        j_aff, i_aff = along, neg(depth)
+    elif e2 == EDGE_S:
+        j_aff, i_aff = depth, along
+    else:
+        j_aff, i_aff = neg(depth), along
+    A = np.array([[j_aff[0], j_aff[1]], [i_aff[0], i_aff[1]]])
+    b = np.array([j_aff[2], i_aff[2]])
+    return A, b
+
+
+def resolve_corner_cell(face: int, J: int, I: int, n: int, first: str):
+    """Resolve a cube-corner halo slot to a real cell on the third face.
+
+    (J, I) has BOTH coordinates outside [0, n).  `first` selects which
+    axis's edge map is applied first, which disambiguates the corner:
+    'y' gives row continuation (x-sweep semantics: the row belongs to the
+    y-neighbor; extend it sideways across that face's edge), 'x' gives
+    column continuation.  This generalizes FV3's copy_corners mirror fill
+    (tp_core.F90) with the *true* third-face cells, which the full-cube
+    layout has available.
+    """
+    if first == "y":
+        e1 = EDGE_S if J < 0 else EDGE_N
+    else:
+        e1 = EDGE_W if I < 0 else EDGE_E
+    l1 = link(face, e1)
+    A, b = _edge_map_affine(l1, n)
+    J2, I2 = A @ np.array([J, I]) + b
+    g = l1.nbr_face
+    # exactly one coordinate of (J2, I2) is out of range now
+    out_j = not (0 <= J2 < n)
+    out_i = not (0 <= I2 < n)
+    if out_j == out_i:
+        raise ValueError(
+            f"corner resolution failed at face {face} ({J},{I}): "
+            f"-> face {g} ({J2},{I2})"
+        )
+    if out_j:
+        e2 = EDGE_S if J2 < 0 else EDGE_N
+    else:
+        e2 = EDGE_W if I2 < 0 else EDGE_E
+    l2 = link(g, e2)
+    A2, b2 = _edge_map_affine(l2, n)
+    J3, I3 = A2 @ np.array([J2, I2]) + b2
+    if not (0 <= J3 < n and 0 <= I3 < n):
+        raise ValueError(
+            f"corner resolution escaped face {l2.nbr_face}: ({J3},{I3})"
+        )
+    return l2.nbr_face, int(J3), int(I3)
+
+
+@lru_cache(maxsize=None)
+def halo_source_indices_filled(n: int, h: int, fill: str):
+    """Like halo_source_indices but with cube-corner slots resolved.
+
+    fill='x': corners resolved by row continuation (use before x-sweep
+    stencils / after the inner-y operator, mirroring FV3 copy_corners
+    dir=1 semantics); fill='y': column continuation (dir=2).
+    """
+    assert fill in ("x", "y")
+    src_face, src_j, src_i, corner_mask = (
+        a.copy() for a in halo_source_indices(n, h)
+    )
+    first = "y" if fill == "x" else "x"
+    for f in range(6):
+        for Jp in range(n + 2 * h):
+            for Ip in range(n + 2 * h):
+                if not corner_mask[f, Jp, Ip]:
+                    continue
+                J, I = Jp - h, Ip - h
+                gf, gJ, gI = resolve_corner_cell(f, J, I, n, first)
+                src_face[f, Jp, Ip] = gf
+                src_j[f, Jp, Ip] = gJ
+                src_i[f, Jp, Ip] = gI
+    return src_face, src_j, src_i, corner_mask
+
+
 # 1-based FMS mosaic contact list, used by tests to pin the derived topology
 # to the arrangement the reference encodes in FV3_FACE_CONNECTIONS
 # (external/vcm/vcm/cubedsphere/xgcm.py:6-35).  Entries: (face, edge) pairs.

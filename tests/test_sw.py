@@ -1,0 +1,100 @@
+"""Shallow-water solver tests: rest state, mass conservation, and the
+Williamson et al. (1992) case 2 steady geostrophic flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fv3net_tpu.constants import GRAV, OMEGA, RADIUS
+from fv3net_tpu.grid import CubedSphereGrid
+from fv3net_tpu.dycore import ShallowWaterState, make_sw_stepper
+
+
+def w2_fields(g: CubedSphereGrid, u0=None, gh0=2.94e4):
+    """Williamson case 2: steady zonal geostrophic flow (alpha = 0)."""
+    if u0 is None:
+        u0 = 2 * np.pi * RADIUS / (12 * 86400.0)
+    h, n = g.halo, g.n
+
+    def h_of_lat(lat):
+        return (
+            gh0 - (RADIUS * OMEGA * u0 + 0.5 * u0 ** 2) * np.sin(lat) ** 2
+        ) / GRAV
+
+    def vel(p):
+        # eastward flow u0*cos(lat): V = omega_vec x r with omega = u0/R
+        w = np.array([0.0, 0.0, u0])
+        return np.cross(np.broadcast_to(w, p.shape), p)
+
+    lat_c = g.lat[g.interior]
+    depth = h_of_lat(lat_c)
+
+    cor = g.corners_xyz[:, h : h + n + 1, h : h + n + 1]
+
+    def edge_wind(a, b):
+        mid = a + b
+        mid = mid / np.linalg.norm(mid, axis=-1, keepdims=True)
+        t = b - a
+        t = t - np.sum(t * mid, axis=-1, keepdims=True) * mid
+        t = t / np.linalg.norm(t, axis=-1, keepdims=True)
+        return np.sum(vel(mid) * t, axis=-1)
+
+    u = edge_wind(cor[:, :, :-1], cor[:, :, 1:])  # [6, n+1, n]
+    v = edge_wind(cor[:, :-1, :], cor[:, 1:, :])  # [6, n, n+1]
+    return depth, u, v
+
+
+def test_rest_state_stays_at_rest():
+    g = CubedSphereGrid.make(12, halo=3)
+    run, m = make_sw_stepper(g, dt=600.0, dtype=jnp.float64)
+    s = ShallowWaterState(
+        jnp.full((6, 12, 12), 1000.0, jnp.float64),
+        jnp.zeros((6, 13, 12), jnp.float64),
+        jnp.zeros((6, 12, 13), jnp.float64),
+    )
+    out = run(s, 10)
+    np.testing.assert_allclose(np.asarray(out.delp), 1000.0, rtol=1e-12)
+    assert np.abs(np.asarray(out.u)).max() < 1e-8
+    assert np.abs(np.asarray(out.v)).max() < 1e-8
+
+
+def test_mass_conservation():
+    n = 24
+    g = CubedSphereGrid.make(n, halo=3)
+    run, m = make_sw_stepper(g, dt=300.0, dtype=jnp.float64)
+    depth, u, v = w2_fields(g)
+    s = ShallowWaterState(jnp.asarray(depth), jnp.asarray(u),
+                          jnp.asarray(v))
+    area = g.area[g.interior]
+    m0 = (depth * area).sum()
+    out = run(s, 50)
+    m1 = (np.asarray(out.delp) * area).sum()
+    np.testing.assert_allclose(m1, m0, rtol=1e-12)
+
+
+# tolerance reflects the round-1 orthogonal-metric approximation;
+# FV3-grade accuracy (cosa/sina corrections, upwind corner KE) is a
+# planned refinement tracked in the build plan
+@pytest.mark.parametrize("n,steps,tol", [(24, 720, 0.08)])
+def test_williamson2_steady_state(n, steps, tol):
+    """5 simulated days of the steady geostrophic flow; the height field
+    must stay close to the analytic steady state and nothing may blow
+    up.  (The classical convergence benchmark for SW cores on the cubed
+    sphere; cf. the reference dycore's regression gates on prognostic
+    fields, workflows/prognostic_c48_run/tests/test_regression.py:631.)"""
+    g = CubedSphereGrid.make(n, halo=3)
+    dt = 600.0 * 24 / n  # scale dt with resolution
+    run, m = make_sw_stepper(g, dt=dt, hord=5, dtype=jnp.float64)
+    depth, u, v = w2_fields(g)
+    s = ShallowWaterState(jnp.asarray(depth), jnp.asarray(u),
+                          jnp.asarray(v))
+    nsteps = int(5 * 86400 / dt)
+    out = run(s, nsteps)
+    h_end = np.asarray(out.delp)
+    assert np.isfinite(h_end).all()
+    w = g.area[g.interior]
+    l2 = np.sqrt((w * (h_end - depth) ** 2).sum() / (w * depth ** 2).sum())
+    assert l2 < tol, f"W2 height L2 drift {l2}"
+    # winds bounded
+    assert np.abs(np.asarray(out.u)).max() < 150.0
