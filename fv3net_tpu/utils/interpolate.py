@@ -1,0 +1,44 @@
+"""Vertical interpolation utilities (vcm/interpolate.py equivalents)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.remap import interpolate_columns
+from .thermo import pressure_at_midpoint_log
+
+# the reference's standard pressure grid for diagnostics
+# (vcm/interpolate.py PRESSURE_GRID, hPa -> Pa)
+PRESSURE_GRID = 100.0 * np.array(
+    [1000, 925, 850, 700, 600, 500, 400, 300, 250, 200, 150, 100, 70,
+     50, 30, 20, 10]
+)[::-1]
+
+
+def interpolate_1d(xp, x, y, axis=-3, fill_value=np.nan):
+    """Columnwise linear interpolation (vcm/interpolate.py:100; backed by
+    the same algorithm the reference wraps from interpolate_2d.f90)."""
+    import jax.numpy as jnp
+
+    xp_a = jnp.moveaxis(jnp.asarray(xp), axis, 0)
+    x_a = jnp.moveaxis(jnp.asarray(x), axis, 0)
+    y_a = jnp.moveaxis(jnp.asarray(y), axis, 0)
+    out = interpolate_columns(xp_a, x_a, y_a, fill_value=fill_value)
+    return np.moveaxis(np.asarray(out), 0, axis)
+
+
+def interpolate_to_pressure_levels(
+    field, delp, levels=PRESSURE_GRID, axis=-3, toa_pressure=300.0
+):
+    """(vcm/interpolate.py:77): interpolate a field from model levels to
+    fixed pressure levels using log-midpoint pressures."""
+    pmid = pressure_at_midpoint_log(delp, toa_pressure, axis)
+    shape = list(np.shape(field))
+    shape[axis % len(shape)] = len(levels)
+    lev = np.asarray(levels, dtype=np.float64)
+    expand = [1] * len(shape)
+    expand[axis % len(shape)] = len(levels)
+    target = np.broadcast_to(
+        lev.reshape(expand), shape
+    )
+    return interpolate_1d(target, pmid, field, axis=axis)

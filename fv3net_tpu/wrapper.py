@@ -1,0 +1,511 @@
+"""The model wrapper: the fv3gfs.wrapper API surface over the JAX core.
+
+The reference's coupling runtime drives the Fortran model exclusively
+through this surface (census in SURVEY 2.1; call sites
+workflows/prognostic_c48_run/runtime/loop.py:464-514,653,660 and
+runtime/derived_state.py:30-130):
+
+    initialize, cleanup, step_dynamics, step_pre_radiation,
+    step_radiation, step_post_radiation_physics, apply_physics,
+    save_intermediate_restart_if_enabled, get_step_count, get_state,
+    set_state, set_state_mass_conserving, get_diagnostic_by_name,
+    get_tracer_metadata, transform_agrid_winds_to_dgrid_winds,
+    _properties
+
+Here the "model" is the TPU-native hydrostatic dycore plus a simple
+physics suite; each wrapper call is a jitted device computation instead
+of an MPI-coordinated Fortran step, but the name-based contracts match so
+the reference's runtime logic carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+from typing import Dict, List, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import (
+    GRAV,
+    KAPPA,
+    RDGAS,
+    REFERENCE_SURFACE_PRESSURE,
+    ZVIR,
+)
+from .dycore.hydro import (
+    DycoreState,
+    hybrid_coefficients,
+    make_dycore_stepper,
+)
+from .grid.geometry import CubedSphereGrid
+from .physics.simple import held_suarez_tendencies, saturation_adjustment
+from .util.quantity import Quantity, State
+
+# canonical state names (data contract shared with the reference's
+# runtime/names.py)
+TEMP = "air_temperature"
+SPHUM = "specific_humidity"
+CLOUD = "cloud_water_mixing_ratio"
+DELP = "pressure_thickness_of_atmospheric_layer"
+X_WIND = "x_wind"
+Y_WIND = "y_wind"
+EASTWARD_WIND = "eastward_wind"
+NORTHWARD_WIND = "northward_wind"
+SFC_GEO = "surface_geopotential"
+TSFC = "surface_temperature"
+TOTAL_PRECIP = "total_precipitation"
+PHYS_PRECIP_RATE = "surface_precipitation_rate"
+AREA = "area_of_grid_cell"
+LAT = "latitude"
+LON = "longitude"
+TIME = "time"
+
+DIMS_3D = ("tile", "z", "y", "x")
+DIMS_2D = ("tile", "y", "x")
+
+TRACER_METADATA = {
+    SPHUM: {"i_tracer": 1, "fortran_name": "sphum", "units": "kg/kg"},
+    CLOUD: {"i_tracer": 2, "fortran_name": "liq_wat", "units": "kg/kg"},
+}
+
+DYNAMICS_PROPERTIES = [
+    {"name": n, "dims": DIMS_3D, "units": u}
+    for n, u in [
+        (TEMP, "degK"),
+        (DELP, "Pa"),
+        (X_WIND, "m/s"),
+        (Y_WIND, "m/s"),
+    ]
+] + [{"name": SFC_GEO, "dims": DIMS_2D, "units": "m**2/s**2"}]
+PHYSICS_PROPERTIES = [
+    {"name": TSFC, "dims": DIMS_2D, "units": "degK"},
+    {"name": TOTAL_PRECIP, "dims": DIMS_2D, "units": "m"},
+]
+
+
+@dataclasses.dataclass
+class _Properties:
+    DYNAMICS_PROPERTIES = DYNAMICS_PROPERTIES
+    PHYSICS_PROPERTIES = PHYSICS_PROPERTIES
+
+
+_properties = _Properties()
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    npx: int = 13  # cells per face edge + 1 (FV3 namelist convention)
+    npz: int = 63
+    dt_atmos: float = 900.0
+    k_split: int = 1
+    n_split: int = 6
+    hord: int = 5
+    kord: int = 9
+    ptop: float = 300.0
+    hydrostatic: bool = True
+    do_held_suarez: bool = False
+    do_sat_adj: bool = True
+    dtype: str = "float32"
+    initial_time: str = "2016-08-01T00:00:00"
+
+
+class _Model:
+    """Module-level model instance (mirrors the Fortran global state)."""
+
+    def __init__(self):
+        self.initialized = False
+
+    def initialize(self, config: Optional[ModelConfig] = None):
+        cfg = config or ModelConfig()
+        self.config = cfg
+        n = cfg.npx - 1
+        self.n = n
+        self.nz = cfg.npz
+        dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+        self.dtype = dtype
+        self.grid = CubedSphereGrid.make(n, halo=3)
+        self.run_step, self.metrics, (self.ak, self.bk) = (
+            make_dycore_stepper(
+                self.grid,
+                cfg.npz,
+                cfg.dt_atmos,
+                k_split=cfg.k_split,
+                n_split=cfg.n_split,
+                hord=cfg.hord,
+                kord=cfg.kord,
+                ptop=cfg.ptop,
+                dtype=dtype,
+            )
+        )
+        self._init_geometry()
+        self._init_state()
+        self.step_count = 0
+        self.time = datetime.datetime.fromisoformat(cfg.initial_time)
+        self.initialized = True
+
+    def _init_geometry(self):
+        g = self.grid
+        self.area = np.asarray(g.area[g.interior])
+        self.lat = np.asarray(g.lat[g.interior])
+        self.lon = np.asarray(g.lon[g.interior])
+        # local east/north and x/y unit vectors at cell centers (interior)
+        ee = g.e_east[g.interior + (np.s_[:],)]
+        en = g.e_north[g.interior + (np.s_[:],)]
+        c = g.centers_xyz
+        h, n = g.halo, g.n
+        tx = c[:, h : h + n, h + 1 : h + n + 1] - c[
+            :, h : h + n, h - 1 : h + n - 1
+        ]
+        ty = c[:, h + 1 : h + n + 1, h : h + n] - c[
+            :, h - 1 : h + n - 1, h : h + n
+        ]
+        cc = c[:, h : h + n, h : h + n]
+        tx = tx - np.sum(tx * cc, axis=-1, keepdims=True) * cc
+        ty = ty - np.sum(ty * cc, axis=-1, keepdims=True) * cc
+        tx /= np.linalg.norm(tx, axis=-1, keepdims=True)
+        ty /= np.linalg.norm(ty, axis=-1, keepdims=True)
+        # rotation between (x,y) local components and (east,north)
+        self.x_dot_e = np.sum(tx * ee, axis=-1)
+        self.x_dot_n = np.sum(tx * en, axis=-1)
+        self.y_dot_e = np.sum(ty * ee, axis=-1)
+        self.y_dot_n = np.sum(ty * en, axis=-1)
+        # D-grid edge tangents for A->D transforms
+        cor = g.corners_xyz[:, h : h + n + 1, h : h + n + 1]
+
+        def tang(a, b):
+            mid = a + b
+            mid /= np.linalg.norm(mid, axis=-1, keepdims=True)
+            t = b - a
+            t = t - np.sum(t * mid, axis=-1, keepdims=True) * mid
+            return t / np.linalg.norm(t, axis=-1, keepdims=True), mid
+
+        self.tu, self.mu = tang(cor[:, :, :-1], cor[:, :, 1:])
+        self.tv, self.mv = tang(cor[:, :-1, :], cor[:, 1:, :])
+        zhat = np.array([0.0, 0.0, 1.0])
+
+        def en_basis(mid):
+            e = np.cross(np.broadcast_to(zhat, mid.shape), mid)
+            e /= np.maximum(
+                np.linalg.norm(e, axis=-1, keepdims=True), 1e-300
+            )
+            nn = np.cross(mid, e)
+            return e, nn
+
+        self.eu, self.nu_ = en_basis(self.mu)
+        self.ev, self.nv_ = en_basis(self.mv)
+
+    def _init_state(self):
+        n, nz = self.n, self.nz
+        dtype = self.dtype
+        ak = np.asarray(self.ak)
+        bk = np.asarray(self.bk)
+        ps = 1.0e5
+        pe = ak[:, None, None] + bk[:, None, None] * ps
+        delp = np.broadcast_to(pe[1:] - pe[:-1], (6, nz, n, n)).copy()
+        # isothermal 280 K in theta_v
+        pik = (pe / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+        pi_lay = 0.5 * (pik[1:] + pik[:-1])
+        theta = 280.0 / pi_lay
+        pt = np.broadcast_to(theta, (6, nz, n, n)).copy()
+        q = np.zeros((2, 6, nz, n, n))  # sphum, cloud
+        self.state = DycoreState(
+            jnp.asarray(delp, dtype),
+            jnp.asarray(pt, dtype),
+            jnp.zeros((6, nz, n + 1, n), dtype),
+            jnp.zeros((6, nz, n, n + 1), dtype),
+            jnp.asarray(q, dtype),
+        )
+        self.phis = jnp.zeros((6, n, n), dtype)
+        self.tsfc = np.full((6, n, n), 288.0)
+        self.total_precip = np.zeros((6, n, n))
+        self.precip_rate = np.zeros((6, n, n))
+        self._intermediate_restarts: List[str] = []
+
+    # --- thermodynamic conversions ---------------------------------------
+
+    def _pressure_layers(self, delp):
+        pe = self.config.ptop + np.concatenate(
+            [np.zeros_like(delp[:, :1]), np.cumsum(delp, axis=1)], axis=1
+        )
+        pik = (pe / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+        pi_lay = (
+            pik[:, 1:] * pe[:, 1:] - pik[:, :-1] * pe[:, :-1]
+        ) / ((1.0 + KAPPA) * delp)
+        return pe, pi_lay
+
+    def _temperature(self):
+        delp = np.asarray(self.state.delp, np.float64)
+        pt = np.asarray(self.state.pt, np.float64)
+        q = np.asarray(self.state.q[0], np.float64)
+        _, pi = self._pressure_layers(delp)
+        return pt * pi / (1.0 + ZVIR * q)
+
+    def _set_temperature(self, temp):
+        delp = np.asarray(self.state.delp, np.float64)
+        q = np.asarray(self.state.q[0], np.float64)
+        _, pi = self._pressure_layers(delp)
+        pt = temp * (1.0 + ZVIR * q) / pi
+        self.state = self.state._replace(
+            pt=jnp.asarray(pt, self.dtype)
+        )
+
+    # --- steps ------------------------------------------------------------
+
+    def step_dynamics(self):
+        self.state = self.run_step(self.state, self.phis, 1)
+        self.step_count += 1
+        self.time += datetime.timedelta(
+            seconds=self.config.dt_atmos
+        )
+
+    def step_pre_radiation(self):
+        pass  # surface/boundary-layer setup slot (no-op in simple suite)
+
+    def step_radiation(self):
+        pass  # the python radiation port plugs in via RadiationStepper
+
+    def step_post_radiation_physics(self):
+        if self.config.do_held_suarez:
+            delp = np.asarray(self.state.delp, np.float64)
+            temp = self._temperature()
+            u = np.asarray(self.state.u, np.float64)
+            v = np.asarray(self.state.v, np.float64)
+            pe, _ = self._pressure_layers(delp)
+            dT, du, dv = held_suarez_tendencies(
+                temp, u, v, pe, self.lat, self.config.dt_atmos
+            )
+            self._set_temperature(temp + dT)
+            self.state = self.state._replace(
+                u=jnp.asarray(u + du, self.dtype),
+                v=jnp.asarray(v + dv, self.dtype),
+            )
+
+    def apply_physics(self):
+        if self.config.do_sat_adj:
+            delp = np.asarray(self.state.delp, np.float64)
+            temp = self._temperature()
+            q = np.asarray(self.state.q, np.float64)
+            pe, _ = self._pressure_layers(delp)
+            p_lay = 0.5 * (pe[:, 1:] + pe[:, :-1])
+            temp2, qv2, qc2, precip = saturation_adjustment(
+                temp, q[0], q[1], p_lay, delp, self.config.dt_atmos
+            )
+            self._set_temperature(temp2)
+            qnew = np.stack([qv2, qc2])
+            self.state = self.state._replace(
+                q=jnp.asarray(qnew, self.dtype)
+            )
+            self.total_precip += precip / 1000.0  # kg/m2 -> m
+            self.precip_rate = precip / self.config.dt_atmos
+
+    def save_intermediate_restart_if_enabled(self):
+        pass  # wired by the segmented-run layer
+
+    # --- state access -----------------------------------------------------
+
+    def get_state(self, names) -> State:
+        out: State = {}
+        for name in names:
+            if name == TIME:
+                out[name] = self.time  # type: ignore
+            elif name == TEMP:
+                out[name] = Quantity(self._temperature(), DIMS_3D, "degK")
+            elif name == DELP:
+                out[name] = Quantity(
+                    np.asarray(self.state.delp), DIMS_3D, "Pa"
+                )
+            elif name == SPHUM:
+                out[name] = Quantity(
+                    np.asarray(self.state.q[0]), DIMS_3D, "kg/kg"
+                )
+            elif name == CLOUD:
+                out[name] = Quantity(
+                    np.asarray(self.state.q[1]), DIMS_3D, "kg/kg"
+                )
+            elif name == X_WIND:
+                out[name] = Quantity(
+                    np.asarray(self.state.u),
+                    ("tile", "z", "y_interface", "x"), "m/s",
+                )
+            elif name == Y_WIND:
+                out[name] = Quantity(
+                    np.asarray(self.state.v),
+                    ("tile", "z", "y", "x_interface"), "m/s",
+                )
+            elif name in (EASTWARD_WIND, NORTHWARD_WIND):
+                ua, va = self._agrid_winds()
+                out[EASTWARD_WIND] = Quantity(ua, DIMS_3D, "m/s")
+                out[NORTHWARD_WIND] = Quantity(va, DIMS_3D, "m/s")
+            elif name == SFC_GEO:
+                out[name] = Quantity(
+                    np.asarray(self.phis), DIMS_2D, "m**2/s**2"
+                )
+            elif name == TSFC:
+                out[name] = Quantity(self.tsfc.copy(), DIMS_2D, "degK")
+            elif name == TOTAL_PRECIP:
+                out[name] = Quantity(
+                    self.total_precip.copy(), DIMS_2D, "m"
+                )
+            elif name == PHYS_PRECIP_RATE:
+                out[name] = Quantity(
+                    self.precip_rate.copy(), DIMS_2D, "kg/m**2/s"
+                )
+            elif name == AREA:
+                out[name] = Quantity(self.area.copy(), DIMS_2D, "m**2")
+            elif name == LAT:
+                out[name] = Quantity(self.lat.copy(), DIMS_2D, "radians")
+            elif name == LON:
+                out[name] = Quantity(self.lon.copy(), DIMS_2D, "radians")
+            else:
+                raise KeyError(f"unknown state name: {name}")
+        return out
+
+    def set_state(self, state: Mapping[str, Quantity]):
+        for name, qty in state.items():
+            if name == TIME:
+                self.time = qty  # type: ignore
+            elif name == TEMP:
+                self._set_temperature(np.asarray(qty.data, np.float64))
+            elif name == DELP:
+                self.state = self.state._replace(
+                    delp=jnp.asarray(qty.data, self.dtype)
+                )
+            elif name == SPHUM:
+                q = np.array(self.state.q)
+                q[0] = np.asarray(qty.data)
+                self.state = self.state._replace(
+                    q=jnp.asarray(q, self.dtype)
+                )
+            elif name == CLOUD:
+                q = np.array(self.state.q)
+                q[1] = np.asarray(qty.data)
+                self.state = self.state._replace(
+                    q=jnp.asarray(q, self.dtype)
+                )
+            elif name == X_WIND:
+                self.state = self.state._replace(
+                    u=jnp.asarray(qty.data, self.dtype)
+                )
+            elif name == Y_WIND:
+                self.state = self.state._replace(
+                    v=jnp.asarray(qty.data, self.dtype)
+                )
+            elif name == TSFC:
+                self.tsfc = np.asarray(qty.data).copy()
+            elif name == TOTAL_PRECIP:
+                self.total_precip = np.asarray(qty.data).copy()
+            elif name == SFC_GEO:
+                self.phis = jnp.asarray(qty.data, self.dtype)
+            else:
+                raise KeyError(f"cannot set state name: {name}")
+
+    def set_state_mass_conserving(self, state: Mapping[str, Quantity]):
+        """Humidity updates adjust delp to conserve dry air mass
+        (semantics of derived_state.py:99-130 / the wrapper's
+        set_state_mass_conserving)."""
+        state = dict(state)
+        if SPHUM in state:
+            q_old = np.asarray(self.state.q[0], np.float64)
+            q_new = np.asarray(state[SPHUM].data, np.float64)
+            delp = np.asarray(self.state.delp, np.float64)
+            delp_new = delp * (1.0 - q_old) / (1.0 - q_new)
+            self.state = self.state._replace(
+                delp=jnp.asarray(delp_new, self.dtype)
+            )
+        self.set_state(state)
+
+    # --- winds ------------------------------------------------------------
+
+    def _agrid_winds(self):
+        u = np.asarray(self.state.u, np.float64)
+        v = np.asarray(self.state.v, np.float64)
+        ux = 0.5 * (u[:, :, :-1, :] + u[:, :, 1:, :])
+        vy = 0.5 * (v[:, :, :, :-1] + v[:, :, :, 1:])
+        ua = ux * self.x_dot_e[:, None] + vy * self.y_dot_e[:, None]
+        va = ux * self.x_dot_n[:, None] + vy * self.y_dot_n[:, None]
+        return ua, va
+
+    def transform_agrid_winds_to_dgrid_winds(
+        self, u_quantity: Quantity, v_quantity: Quantity
+    ):
+        """(eastward, northward) A-grid vectors -> D-grid edge components
+        (the wrapper call used to apply A-grid wind tendencies,
+        runtime/loop.py:148-199)."""
+        ua = np.asarray(u_quantity.data, np.float64)
+        va = np.asarray(v_quantity.data, np.float64)
+        # interpolate to edges then project onto edge tangents
+        ua_u = np.concatenate(
+            [ua[:, :, :1], 0.5 * (ua[:, :, 1:] + ua[:, :, :-1]),
+             ua[:, :, -1:]], axis=2,
+        )
+        va_u = np.concatenate(
+            [va[:, :, :1], 0.5 * (va[:, :, 1:] + va[:, :, :-1]),
+             va[:, :, -1:]], axis=2,
+        )
+        ua_v = np.concatenate(
+            [ua[:, :, :, :1], 0.5 * (ua[:, :, :, 1:] + ua[:, :, :, :-1]),
+             ua[:, :, :, -1:]], axis=3,
+        )
+        va_v = np.concatenate(
+            [va[:, :, :, :1], 0.5 * (va[:, :, :, 1:] + va[:, :, :, :-1]),
+             va[:, :, :, -1:]], axis=3,
+        )
+        tu_e = np.sum(self.tu * self.eu, axis=-1)[:, None]
+        tu_n = np.sum(self.tu * self.nu_, axis=-1)[:, None]
+        tv_e = np.sum(self.tv * self.ev, axis=-1)[:, None]
+        tv_n = np.sum(self.tv * self.nv_, axis=-1)[:, None]
+        du = ua_u * tu_e + va_u * tu_n
+        dv = ua_v * tv_e + va_v * tv_n
+        return (
+            Quantity(du, ("tile", "z", "y_interface", "x"), "m/s"),
+            Quantity(dv, ("tile", "z", "y", "x_interface"), "m/s"),
+        )
+
+    def get_diagnostic_by_name(self, name: str) -> Quantity:
+        mapping = {
+            "total_precipitation_rate": PHYS_PRECIP_RATE,
+            PHYS_PRECIP_RATE: PHYS_PRECIP_RATE,
+        }
+        return self.get_state([mapping.get(name, name)])[
+            mapping.get(name, name)
+        ]
+
+    def get_tracer_metadata(self) -> Dict:
+        return dict(TRACER_METADATA)
+
+    def get_step_count(self) -> int:
+        return self.step_count
+
+    def cleanup(self):
+        self.initialized = False
+
+
+_model = _Model()
+
+# module-level API matching fv3gfs.wrapper
+initialize = _model.initialize
+cleanup = _model.cleanup
+step_dynamics = _model.step_dynamics
+step_pre_radiation = _model.step_pre_radiation
+step_radiation = _model.step_radiation
+step_post_radiation_physics = _model.step_post_radiation_physics
+apply_physics = _model.apply_physics
+save_intermediate_restart_if_enabled = (
+    _model.save_intermediate_restart_if_enabled
+)
+get_step_count = _model.get_step_count
+get_state = _model.get_state
+set_state = _model.set_state
+set_state_mass_conserving = _model.set_state_mass_conserving
+get_diagnostic_by_name = _model.get_diagnostic_by_name
+get_tracer_metadata = _model.get_tracer_metadata
+transform_agrid_winds_to_dgrid_winds = (
+    _model.transform_agrid_winds_to_dgrid_winds
+)
+
+
+def get_model() -> _Model:
+    return _model
