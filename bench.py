@@ -1,10 +1,10 @@
 """Benchmark: prints one JSON line with the headline metric.
 
-Current flagship kernel: one full 3D cube transport step at C48 x 63
-levels (halo exchange with corner fills + 2D Lin-Rood PPM fluxes +
-conservative update, per level) in float32 on the available device.
-Metric: cell-updates per second (gridpoints x levels / step time).
-Will be replaced by the full dycore step as it lands.
+Flagship benchmark: the full hydrostatic dycore step (n_split=6
+acoustic-style substeps + tracer transport + conservative vertical
+remap) at C48 x 63 levels, float32 -- the reference's prognostic-run
+configuration class (SURVEY 6).  Metric: gridcell-updates/s/chip
+(cells x levels x substeps per wall-second) plus SYPD at dt_atmos=900s.
 """
 
 import json
@@ -17,118 +17,59 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fv3net_tpu.dycore.hydro import make_dycore_stepper
     from fv3net_tpu.grid import CubedSphereGrid
-    from fv3net_tpu.grid.halo import halo_exchange, halo_exchange_cgrid
-    from fv3net_tpu.ops.advection import fv_tp_2d
-    from fv3net_tpu.constants import RADIUS
+    from __graft_entry__ import _rest_state
 
-    n, h, nz = 48, 3, 63
-    dtype = jnp.float32
-    g = CubedSphereGrid.make(n, halo=h)
-    N = n + 2 * h
-
-    # rigid-rotation winds (setup in numpy, f64 -> cast)
-    axis = np.array([0.3, -0.5, 0.81])
-    axis /= np.linalg.norm(axis)
-    cor = g.corners_xyz
-
-    def vel(p):
-        return np.cross(np.broadcast_to(axis, p.shape), p)
-
-    t_ye = cor[:, 1:, :, :] - cor[:, :-1, :, :]
-    mid_x = cor[:, :-1, :, :] + cor[:, 1:, :, :]
-    mid_x /= np.linalg.norm(mid_x, axis=-1, keepdims=True)
-    n_x = np.cross(t_ye, mid_x)
-    n_x /= np.linalg.norm(n_x, axis=-1, keepdims=True)
-    u_x = np.sum(vel(mid_x[:, :, 1:-1, :]) * n_x[:, :, 1:-1, :], axis=-1)
-    t_xe = cor[:, :, 1:, :] - cor[:, :, :-1, :]
-    mid_y = cor[:, :, :-1, :] + cor[:, :, 1:, :]
-    mid_y /= np.linalg.norm(mid_y, axis=-1, keepdims=True)
-    n_y = np.cross(mid_y, t_xe)
-    n_y /= np.linalg.norm(n_y, axis=-1, keepdims=True)
-    u_y = np.sum(vel(mid_y[:, 1:-1, :, :]) * n_y[:, 1:-1, :, :], axis=-1)
-
-    umax = max(np.nanmax(np.abs(u_x)), np.nanmax(np.abs(u_y))) * RADIUS
-    wdt = 0.5 * np.nanmin(g.dxa[g.interior]) / umax
-    crx_full = u_x * RADIUS * wdt / g.dxc[:, :, 1:-1]
-    mfx_full = u_x * RADIUS * wdt * g.dy[:, :, 1:N]
-    cry_full = u_y * RADIUS * wdt / g.dyc[:, 1:-1, :]
-    mfy_full = u_y * RADIUS * wdt * g.dx[:, 1:N, :]
-
-    def int_x(a):
-        return a[:, h : h + n, h - 1 : h + n]
-
-    def int_y(a):
-        return a[:, h - 1 : h + n, h : h + n]
-
-    def pad_pair(fx_int, fy_int):
-        ux_p, _ = halo_exchange_cgrid(
-            jnp.asarray(fx_int), jnp.asarray(fy_int), h, fill="x"
-        )
-        _, vy_p = halo_exchange_cgrid(
-            jnp.asarray(fx_int), jnp.asarray(fy_int), h, fill="y"
-        )
-        return (
-            jnp.asarray(np.asarray(ux_p)[:, :, :N], dtype),
-            jnp.asarray(np.asarray(vy_p)[:, :N, :], dtype),
-        )
-
-    crx, cry = pad_pair(int_x(crx_full), int_y(cry_full))
-    mfx, mfy = pad_pair(int_x(mfx_full), int_y(mfy_full))
-    area_int = jnp.asarray(g.area[g.interior], dtype)
-    area_px = halo_exchange(area_int, h, fill="x")
-    area_py = halo_exchange(area_int, h, fill="y")
-    # broadcast 2D coefficient fields over the level axis
-    crx, cry, mfx, mfy = (a[:, None] for a in (crx, cry, mfx, mfy))
-    area_int, area_px, area_py = (
-        a[:, None] for a in (area_int, area_px, area_py)
+    n, nz = 48, 63
+    k_split, n_split = 1, 6
+    dt_atmos = 900.0
+    g = CubedSphereGrid.make(n, halo=3)
+    run, m, _ = make_dycore_stepper(
+        g, nz, dt_atmos=dt_atmos, k_split=k_split, n_split=n_split,
+        hord=5, dtype=jnp.float32,
     )
+    state = _rest_state(g, nz, 300.0, jnp.float32)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    # perturb so the flow is nontrivial
+    key = jax.random.PRNGKey(0)
+    state = state._replace(
+        pt=state.pt + 1.0 * jax.random.normal(key, state.pt.shape)
+    )
+    phis = jnp.zeros((6, n, n), jnp.float32)
 
-    def shx(a, k):
-        return jnp.roll(a, -k, axis=-1)
-
-    def shy(a, k):
-        return jnp.roll(a, -k, axis=-2)
-
-    ra_new = (area_px + (mfx - shx(mfx, 1)) + (mfy - shy(mfy, 1)))[
-        ..., h : h + n, h : h + n
-    ]
-
-    import jax
-
-    @jax.jit
-    def step(q):
-        qp_x = halo_exchange(q, h, fill="x")
-        qp_y = halo_exchange(q, h, fill="y")
-        fx, fy = fv_tp_2d(qp_x, qp_y, crx, cry, mfx, mfy, area_px, area_py,
-                          8)
-        div = (fx - shx(fx, 1)) + (fy - shy(fy, 1))
-        return (q * area_int + div[..., h : h + n, h : h + n]) / ra_new
-
-    rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.rand(6, nz, n, n), dtype)
-    q = step(q)  # compile + one step
-    q.block_until_ready()
-
-    iters = 50
     t0 = time.perf_counter()
+    out = run(state, phis, 1)
+    out.delp.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    iters = 20
+    t0 = time.perf_counter()
+    st = out
     for _ in range(iters):
-        q = step(q)
-    q.block_until_ready()
+        st = run(st, phis, 1)
+    st.delp.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
+    assert bool(jnp.isfinite(st.delp).all()), "state blew up"
     cells = 6 * n * n * nz
-    value = cells / dt
+    updates_per_s = cells * (k_split * n_split) / dt
+    sypd = dt_atmos / dt / 365.25 / 86400.0 * 86400.0
     print(
         json.dumps(
             {
-                "metric": "transport_cell_updates_per_s",
-                "value": value,
-                "unit": "cell-updates/s",
+                "metric": "dycore_cell_updates_per_s",
+                "value": updates_per_s,
+                "unit": "cell-substep-updates/s/chip",
                 "vs_baseline": None,
                 "detail": {
-                    "config": f"C{n} nz={nz} f32 hord=8",
+                    "config": (
+                        f"C{n} nz={nz} k_split={k_split} "
+                        f"n_split={n_split} f32 hydrostatic"
+                    ),
                     "step_ms": dt * 1e3,
+                    "simulated_years_per_day": sypd,
+                    "compile_s": compile_s,
                 },
             }
         )

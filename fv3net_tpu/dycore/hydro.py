@@ -40,7 +40,7 @@ from ..grid.halo import (
 )
 from ..ops.advection import fv_tp_2d
 from ..ops.remap import ppm_remap
-from .sw import SWMetrics, _shx, _shy
+from .sw import SWMetrics, _shx, _shy, c_grid_winds
 
 
 class DycoreState(NamedTuple):
@@ -119,15 +119,10 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     ptx = halo_exchange(pt, h, fill="x")
     pty = halo_exchange(pt, h, fill="y")
 
-    # C-face normal winds, canonical (see sw.py)
-    u_l = up[:, :, :-1, :]
-    u_u = up[:, :, 1:, :]
-    uc_full = 0.25 * (_shx(u_l, -1) + u_l + _shx(u_u, -1) + u_u)
-    v_l = vp[:, :, :, :-1]
-    v_u = vp[:, :, :, 1:]
-    vc_full = 0.25 * (_shy(v_l, -1) + v_l + _shy(v_u, -1) + v_u)
-    uc_int = uc_full[:, :, h : h + n, h : h + n + 1]
-    vc_int = vc_full[:, :, h : h + n + 1, h : h + n]
+    # C-face contravariant winds, canonical (see sw.c_grid_winds)
+    uc_A, vc_A = c_grid_winds(up, vp, m)
+    uc_int = uc_A[:, :, h : h + n, h : h + n + 1]
+    vc_int = vc_A[:, :, h : h + n + 1, h : h + n]
     ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
     _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
     uc = ucx_p[:, :, :, :N]
@@ -135,8 +130,8 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
 
     crx = uc * dt / m.dxc_f[:, None]
     cry = vc * dt / m.dyc_f[:, None]
-    xfx = uc * dt * m.dy_f[:, None]
-    yfx = vc * dt * m.dx_f[:, None]
+    xfx = uc * dt * m.dy_fs[:, None]
+    yfx = vc * dt * m.dx_fs[:, None]
 
     # mass fluxes and transport of delp
     fx, fy = fv_tp_2d(
@@ -146,10 +141,13 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
     delp_new = delp + div[:, :, h : h + n, h : h + n] * m.rarea[:, None]
 
-    # potential temperature: mass-weighted transport with the delp fluxes
+    # potential temperature: mass-weighted transport with the delp
+    # fluxes; the Lin-Rood inner update divides by the transversely
+    # updated AIR MASS (area * delp), which must be dimensionally
+    # consistent with the fluxes
     fxt, fyt = fv_tp_2d(
-        ptx, pty, crx, cry, fx, fy, m.area_px[:, None],
-        m.area_py[:, None], hord,
+        ptx, pty, crx, cry, fx, fy,
+        m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
     )
     divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
     pt_new = (
@@ -167,17 +165,21 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     omega_x = halo_exchange(zeta_int, h, fill="x") + m.f_px[:, None]
     omega_y = halo_exchange(zeta_int, h, fill="y") + m.f_py[:, None]
     fxo, fyo = fv_tp_2d(
-        omega_x, omega_y, crx, cry, uc * dt, vc * dt,
+        omega_x, omega_y, crx, cry,
+        uc * dt * m.sina_u[:, None], vc * dt * m.sina_v[:, None],
         m.area_px[:, None], m.area_py[:, None], hord,
     )
 
     # --- kinetic energy + PGF at corners ---------------------------------
     ub = 0.5 * (_shx(up, -1) + up)
     vb = 0.5 * (_shy(vp, -1) + vp)
+    ubp = jnp.pad(ub, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    vbp = jnp.pad(vb, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    # |V|^2 = (u1^2 + u2^2 - 2 cosa u1 u2) / sin^2 (covariant metric)
     ke_c = 0.5 * (
-        jnp.pad(ub ** 2, ((0, 0), (0, 0), (0, 0), (0, 1)))
-        + jnp.pad(vb ** 2, ((0, 0), (0, 0), (0, 1), (0, 0)))
-    )
+        ubp ** 2 + vbp ** 2
+        - 2.0 * m.cosa_b[:, None] * ubp * vbp
+    ) * m.rsin2_b[:, None]
     hn = h + n
     vert_edges = (
         ((h, h), ((up, h, h), (vp, h, h), (vp, h - 1, h))),
@@ -368,12 +370,16 @@ def make_dycore_stepper(
             mfx, mfy, cxa, cya = acc
             # tracer transport with accumulated mass fluxes
             if st2.q is not None:
+                dp0x = halo_exchange(st.delp, h, fill="x")
+                dp0y = halo_exchange(st.delp, h, fill="y")
+
                 def tr(qq):
                     qx = halo_exchange(qq, h, fill="x")
                     qy = halo_exchange(qq, h, fill="y")
                     fxq, fyq = fv_tp_2d(
                         qx, qy, cxa, cya, mfx, mfy,
-                        m.area_px[:, None], m.area_py[:, None], hord,
+                        m.area_px[:, None] * dp0x,
+                        m.area_py[:, None] * dp0y, hord,
                     )
                     dv = (fxq - _shx(fxq, 1)) + (fyq - _shy(fyq, 1))
                     old_dp = st.delp

@@ -43,6 +43,25 @@ def _scalar_tables(n: int, h: int, fill: str = "none"):
     return flat, corner_mask
 
 
+@lru_cache(maxsize=None)
+def _scalar_strip_tables(n: int, h: int, fill: str):
+    """Strip-form gather tables: south/north blocks (full padded width,
+    corners included) and west/east strips (interior rows only).  The
+    exchange then reads only the halo ring from HBM instead of
+    gathering the whole field (5-30x less traffic at C48-C384)."""
+    flat, _ = _scalar_tables(n, h, fill)
+    south = flat[:, :h, :]  # [6, h, N]
+    north = flat[:, h + n :, :]
+    west = flat[:, h : h + n, :h]  # [6, n, h]
+    east = flat[:, h : h + n, h + n :]
+    return (
+        jnp.asarray(south.astype(np.int32)),
+        jnp.asarray(north.astype(np.int32)),
+        jnp.asarray(west.astype(np.int32)),
+        jnp.asarray(east.astype(np.int32)),
+    )
+
+
 def halo_exchange(field, h: int, fill: str = "none"):
     """Pad a cell-centered scalar [6, ..., n, n] with h halo cells.
 
@@ -52,13 +71,22 @@ def halo_exchange(field, h: int, fill: str = "none"):
     cells by row / column continuation -- the cube-topology-exact
     version of FV3's copy_corners(dir=1/2) (tp_core.F90); use 'y' before
     y-direction stencils that run on x-halo columns and vice versa.
+
+    Implementation: interior is a pass-through; only the halo ring is
+    gathered (strip tables), and the padded array is assembled with
+    static concatenations XLA lowers to copies.
     """
     n = field.shape[-1]
-    flat_idx, _ = _scalar_tables(n, h, fill)
-    # move spatial+face dims last, flatten, gather, restore
+    south, north, west, east = _scalar_strip_tables(n, h, fill)
     src = jnp.moveaxis(field, 0, -3)  # [..., 6, n, n]
-    src = src.reshape(src.shape[:-3] + (6 * n * n,))
-    out = jnp.take(src, jnp.asarray(flat_idx), axis=-1)  # [..., 6, Np, Np]
+    flat = src.reshape(src.shape[:-3] + (6 * n * n,))
+
+    def take(tbl):
+        return jnp.take(flat, tbl, axis=-1)
+
+    s, nn_, w, e = take(south), take(north), take(west), take(east)
+    mid = jnp.concatenate([w, src, e], axis=-1)  # [..., 6, n, N]
+    out = jnp.concatenate([s, mid, nn_], axis=-2)  # [..., 6, N, N]
     return jnp.moveaxis(out, -3, 0)
 
 
@@ -345,6 +373,46 @@ def _cgrid_tables(n: int, h: int, fill: str):
     return build("uc"), build("vc")
 
 
+def _staggered_strip_exchange(a, b, tables, h, rows_a, cols_a, rows_b,
+                              cols_b, dtype):
+    """Shared strip-form implementation for C/D-grid pair exchanges.
+
+    a, b: the two staggered arrays; tables: ((a_flat, a_sign),
+    (b_flat, b_sign)) full padded tables; rows_*/cols_*: interior
+    extents of each padded array.  Gathers only the halo ring of each
+    array and assembles with static concats.
+    """
+    na = a.shape[-1]
+    asrc = jnp.moveaxis(a, 0, -3)
+    asrc_flat = asrc.reshape(asrc.shape[:-3] + (-1,))
+    bsrc = jnp.moveaxis(b, 0, -3)
+    bsrc_flat = bsrc.reshape(bsrc.shape[:-3] + (-1,))
+    pool = jnp.concatenate([asrc_flat, bsrc_flat], axis=-1)
+
+    def build(src, flat, sign, rows, cols):
+        flat = np.asarray(flat)
+        sign = np.asarray(sign)
+        Np_r, Np_c = flat.shape[1], flat.shape[2]
+        r0, r1 = h, h + rows
+        c0, c1 = h, h + cols
+
+        def take(tf, ts):
+            return jnp.take(pool, jnp.asarray(tf.astype(np.int32)),
+                            axis=-1) * jnp.asarray(ts, dtype)
+
+        s = take(flat[:, :r0, :], sign[:, :r0, :])
+        nn_ = take(flat[:, r1:, :], sign[:, r1:, :])
+        w = take(flat[:, r0:r1, :c0], sign[:, r0:r1, :c0])
+        e = take(flat[:, r0:r1, c1:], sign[:, r0:r1, c1:])
+        mid = jnp.concatenate([w, src, e], axis=-1)
+        return jnp.concatenate([s, mid, nn_], axis=-2)
+
+    (a_flat, a_sign), (b_flat, b_sign) = tables
+    ao = build(asrc, a_flat, a_sign, rows_a, cols_a)
+    bo = build(bsrc, b_flat, b_sign, rows_b, cols_b)
+    return jnp.moveaxis(ao, -3, 0), jnp.moveaxis(bo, -3, 0)
+
+
 def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
     """Halo-exchange C-grid (face-normal) components with corner fill.
 
@@ -354,19 +422,10 @@ def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
     rotated into this face's frame (see _cgrid_tables).
     """
     n = uc.shape[-2]
-    (u_flat, u_sign), (v_flat, v_sign) = _cgrid_tables(n, h, fill)
-    usrc = jnp.moveaxis(uc, 0, -3)
-    usrc = usrc.reshape(usrc.shape[:-3] + (6 * n * (n + 1),))
-    vsrc = jnp.moveaxis(vc, 0, -3)
-    vsrc = vsrc.reshape(vsrc.shape[:-3] + (6 * (n + 1) * n,))
-    pool = jnp.concatenate([usrc, vsrc], axis=-1)
-    uo = jnp.take(pool, jnp.asarray(u_flat), axis=-1) * jnp.asarray(
-        u_sign, dtype=uc.dtype
+    tables = _cgrid_tables(n, h, fill)
+    return _staggered_strip_exchange(
+        uc, vc, tables, h, n, n + 1, n + 1, n, uc.dtype
     )
-    vo = jnp.take(pool, jnp.asarray(v_flat), axis=-1) * jnp.asarray(
-        v_sign, dtype=vc.dtype
-    )
-    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
 
 
 def halo_exchange_dgrid(u, v, h: int):
@@ -380,18 +439,7 @@ def halo_exchange_dgrid(u, v, h: int):
     are zero.
     """
     n = u.shape[-1]
-    (u_flat, u_sign), (v_flat, v_sign) = _dgrid_tables(n, h)
-
-    usrc = jnp.moveaxis(u, 0, -3)
-    usrc = usrc.reshape(usrc.shape[:-3] + (6 * (n + 1) * n,))
-    vsrc = jnp.moveaxis(v, 0, -3)
-    vsrc = vsrc.reshape(vsrc.shape[:-3] + (6 * n * (n + 1),))
-    pool = jnp.concatenate([usrc, vsrc], axis=-1)
-
-    uo = jnp.take(pool, jnp.asarray(u_flat), axis=-1) * jnp.asarray(
-        u_sign, dtype=u.dtype
+    tables = _dgrid_tables(n, h)
+    return _staggered_strip_exchange(
+        u, v, tables, h, n + 1, n, n, n + 1, u.dtype
     )
-    vo = jnp.take(pool, jnp.asarray(v_flat), axis=-1) * jnp.asarray(
-        v_sign, dtype=v.dtype
-    )
-    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
