@@ -1,10 +1,12 @@
 """Benchmark: prints one JSON line with the headline metric.
 
-Flagship benchmark: the full hydrostatic dycore step (n_split=6
-acoustic-style substeps + tracer transport + conservative vertical
-remap) at C48 x 63 levels, float32 -- the reference's prognostic-run
-configuration class (SURVEY 6).  Metric: gridcell-updates/s/chip
-(cells x levels x substeps per wall-second) plus SYPD at dt_atmos=900s.
+Flagship benchmark: the full NONHYDROSTATIC dycore step (n_split=6
+acoustic-style substeps with the semi-implicit vertical Riemann solver,
+tracer transport, and conservative vertical remap) at C48 x 63 levels,
+float32 -- the reference's prognostic-run configuration
+(`hydrostatic: false`, `a_imp: 1.0`, test_regression.py:133-200;
+SURVEY 6).  Metric: gridcell-updates/s/chip (cells x levels x substeps
+per wall-second) plus SYPD at dt_atmos=900s.
 """
 
 import json
@@ -17,7 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fv3net_tpu.dycore.hydro import make_dycore_stepper
+    from fv3net_tpu.dycore.hydro import (
+        add_nonhydrostatic_fields,
+        make_dycore_stepper,
+    )
     from fv3net_tpu.grid import CubedSphereGrid
     from __graft_entry__ import _rest_state
 
@@ -34,8 +39,10 @@ def main():
     # perturb so the flow is nontrivial
     key = jax.random.PRNGKey(0)
     state = state._replace(
-        pt=state.pt + 1.0 * jax.random.normal(key, state.pt.shape)
+        pt=state.pt
+        + 1.0 * jax.random.normal(key, state.pt.shape, jnp.float32)
     )
+    state = add_nonhydrostatic_fields(state, 300.0)
     phis = jnp.zeros((6, n, n), jnp.float32)
 
     t0 = time.perf_counter()
@@ -65,7 +72,7 @@ def main():
                 "detail": {
                     "config": (
                         f"C{n} nz={nz} k_split={k_split} "
-                        f"n_split={n_split} f32 hydrostatic"
+                        f"n_split={n_split} f32 nonhydrostatic"
                     ),
                     "step_ms": dt * 1e3,
                     "simulated_years_per_day": sypd,

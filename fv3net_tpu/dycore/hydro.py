@@ -38,8 +38,10 @@ from ..grid.halo import (
     halo_exchange_cgrid,
     halo_exchange_dgrid,
 )
+from ..constants import GRAV
 from ..ops.advection import fv_tp_2d
 from ..ops.remap import ppm_remap
+from .riemann import layer_mean_pressure, sim1_solver
 from .sw import SWMetrics, _shx, _shy, c_grid_winds
 
 
@@ -49,6 +51,10 @@ class DycoreState(NamedTuple):
     u: jax.Array
     v: jax.Array
     q: Optional[jax.Array] = None  # [ntracer, 6, nz, n, n]
+    # nonhydrostatic prognostics (reference namelist `hydrostatic: false`,
+    # test_regression.py:133-200); delz < 0 by the FV3 restart convention
+    w: Optional[jax.Array] = None  # [6, nz, n, n] vertical wind (m/s)
+    delz: Optional[jax.Array] = None  # [6, nz, n, n] layer thickness (m)
 
 
 def hybrid_coefficients(nz: int, ptop: float = 300.0):
@@ -62,6 +68,18 @@ def hybrid_coefficients(nz: int, ptop: float = 300.0):
     bk = np.sin(0.5 * np.pi * k) ** 2
     ak = ptop * (1.0 - k) + 0.0 * k
     return jnp.asarray(ak), jnp.asarray(bk)
+
+
+def add_nonhydrostatic_fields(state: DycoreState, ptop: float):
+    """Attach w=0 and hydrostatically balanced delz to a state."""
+    from .riemann import hydrostatic_dz
+
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(state.delp[:, :1]),
+         jnp.cumsum(state.delp, axis=1)], axis=1
+    )
+    delz = hydrostatic_dz(state.delp, state.pt, pe)
+    return state._replace(w=jnp.zeros_like(state.delp), delz=delz)
 
 
 def _corner_avg(phi):
@@ -107,11 +125,21 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
                 mfx_acc, mfy_acc, cx_acc, cy_acc):
     """One acoustic-style substep on the Lagrangian layers.
 
+    Hydrostatic when state.w is None; otherwise nonhydrostatic: w is
+    transported mass-weighted and delz volume-weighted alongside the
+    other prognostics, the semi-implicit Riemann solver (riemann.py)
+    advances the vertical acoustics, the geopotential in the wind
+    update comes from the TRUE layer heights (delz), and the winds get
+    the perturbation-pressure gradient -(1/rho) grad_s(p') on top of
+    the hydrostatic cp*theta*grad(pi) term (pointwise-exact split of
+    the full PGF, no hydrostatic assumption).
+
     Returns (new_state_without_tracers, accumulated fluxes).
     """
     h, n = m.halo, m.n
     N = n + 2 * h
     delp, pt, u, v = state.delp, state.pt, state.u, state.v
+    nonhydro = state.w is not None
 
     up, vp = halo_exchange_dgrid(u, v, h)
     dpx = halo_exchange(delp, h, fill="x")
@@ -153,6 +181,31 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     pt_new = (
         pt * delp + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
     ) / delp_new
+
+    if nonhydro:
+        # w: mass-weighted transport (like pt); delz: volume-form
+        # transport with the area fluxes (conserves total volume)
+        wx = halo_exchange(state.w, h, fill="x")
+        wy = halo_exchange(state.w, h, fill="y")
+        fxw, fyw = fv_tp_2d(
+            wx, wy, crx, cry, fx, fy,
+            m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
+        )
+        divw = (fxw - _shx(fxw, 1)) + (fyw - _shy(fyw, 1))
+        w_adv = (
+            state.w * delp
+            + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+        ) / delp_new
+        dzx = halo_exchange(state.delz, h, fill="x")
+        dzy = halo_exchange(state.delz, h, fill="y")
+        fxz, fyz = fv_tp_2d(
+            dzx, dzy, crx, cry, xfx, yfx,
+            m.area_px[:, None], m.area_py[:, None], hord,
+        )
+        divz = (fxz - _shx(fxz, 1)) + (fyz - _shy(fyz, 1))
+        dz_adv = state.delz + divz[
+            :, :, h : h + n, h : h + n
+        ] * m.rarea[:, None]
 
     # vorticity fluxes (advective) for the wind update
     udx = u * m.dx_u[:, None, h : h + n + 1, h : h + n]
@@ -210,7 +263,36 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
         if phis is not None
         else 0.0
     )
-    dphi = CP_AIR * pt_p * (pik[:, 1:] - pik[:, :-1])  # positive downward
+    if nonhydro:
+        # vertical acoustics: semi-implicit solve on the transported
+        # state (Riem_Solver3 position in fv_dynamics), then the TRUE
+        # geopotential from the solved layer heights
+        pe_int = pe_p[:, :, h : h + n, h : h + n]
+        pm_int = layer_mean_pressure(delp_new, pe_int)
+        dm_int = delp_new / GRAV
+        if phis is not None:
+            # terrain BC: ws = V . grad(z_s) from bottom-level C-winds
+            zs = phis / GRAV
+            zsx = halo_exchange(zs, h, fill="x")
+            zsy = halo_exchange(zs, h, fill="y")
+            dzdx_f = (zsx - _shx(zsx, -1)) / m.dxc_f
+            dzdy_f = (zsy - _shy(zsy, -1)) / m.dyc_f
+            ucb, vcb = uc[:, -1], vc[:, -1]
+            ws_full = 0.5 * (
+                ucb * dzdx_f + _shx(ucb * dzdx_f, 1)
+                + vcb * dzdy_f + _shy(vcb * dzdy_f, 1)
+            )
+            ws = ws_full[:, h : h + n, h : h + n]
+        else:
+            ws = jnp.zeros_like(delp_new[:, 0])
+        w2, dz2, ppe = sim1_solver(
+            dt, dm_int, pt_new, dz_adv, w_adv, pe_int, pm_int, ws
+        )
+        dz_p = halo_exchange(dz2, h, fill="y")
+        dphi = -GRAV * dz_p  # positive downward
+    else:
+        # hydrostatic: integrate cp*theta*d(pi)
+        dphi = CP_AIR * pt_p * (pik[:, 1:] - pik[:, :-1])
     # interface geopotential from bottom: Phi_if[nz] = phis
     phi_if_rev = jnp.concatenate(
         [jnp.zeros_like(dp_p[:, :1]),
@@ -229,18 +311,22 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     )
     ke_phi = ke_c + phi_c
 
+    # center -> wind-point averaging for PGF coefficient fields
+    def to_u(f):  # [6, nz, N, N] -> [6, nz, N+1, N]
+        return jnp.concatenate(
+            [f[:, :, :1], 0.5 * (f[:, :, 1:] + f[:, :, :-1]),
+             f[:, :, -1:]], axis=2
+        )
+
+    def to_v(f):  # [6, nz, N, N] -> [6, nz, N, N+1]
+        return jnp.concatenate(
+            [f[:, :, :, :1], 0.5 * (f[:, :, :, 1:] + f[:, :, :, :-1]),
+             f[:, :, :, -1:]], axis=3
+        )
+
     # theta at wind points for the cp*theta*grad(pi) term
-    pty_full = pt_p
-    pt_at_u = jnp.concatenate(
-        [pty_full[:, :, :1], 0.5 * (pty_full[:, :, 1:] +
-                                    pty_full[:, :, :-1]),
-         pty_full[:, :, -1:]], axis=2
-    )  # [6, nz, N+1, N]
-    pt_at_v = jnp.concatenate(
-        [pty_full[:, :, :, :1], 0.5 * (pty_full[:, :, :, 1:] +
-                                       pty_full[:, :, :, :-1]),
-         pty_full[:, :, :, -1:]], axis=3
-    )  # [6, nz, N, N+1]
+    pt_at_u = to_u(pt_p)  # [6, nz, N+1, N]
+    pt_at_v = to_v(pt_p)  # [6, nz, N, N+1]
 
     # --- divergence damping ----------------------------------------------
     u_pad = jnp.pad(up, ((0, 0), (0, 0), (0, 0), (1, 1)))
@@ -268,17 +354,39 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
         - (dt / m.dy_v[:, None]) * (dkv + CP_AIR * pt_at_v * dpiv)
         + d2_damp * (div_b[:, :, 1:, :] - div_b[:, :, :-1, :])
     )
+
+    if nonhydro:
+        # perturbation-pressure gradient -(1/rho) grad_s(p') (the
+        # nonhydrostatic part of the split PGF; nh_p_grad equivalent)
+        pp_lay = 0.5 * (ppe[:, :-1] + ppe[:, 1:])
+        alpha = -dz2 * GRAV / delp_new  # specific volume 1/rho
+        pp_y = halo_exchange(pp_lay, h, fill="y")
+        al_y = halo_exchange(alpha, h, fill="y")
+        pp_c = _corner_avg(pp_y)
+        pp_c = _vertex_fix_scalar_corner(
+            pp_c, _vertex_cells(pp_y, h, n), h, n
+        )
+        u_new_p = u_new_p - (dt / m.dx_u[:, None]) * to_u(al_y) * (
+            pp_c[:, :, :, 1:] - pp_c[:, :, :, :-1]
+        )
+        v_new_p = v_new_p - (dt / m.dy_v[:, None]) * to_v(al_y) * (
+            pp_c[:, :, 1:, :] - pp_c[:, :, :-1, :]
+        )
+
     u_new = u_new_p[:, :, h : h + n + 1, h : h + n]
     v_new = v_new_p[:, :, h : h + n, h : h + n + 1]
 
-    new = DycoreState(delp_new, pt_new, u_new, v_new, state.q)
+    new = DycoreState(
+        delp_new, pt_new, u_new, v_new, state.q,
+        w2 if nonhydro else None, dz2 if nonhydro else None,
+    )
     return new, (mfx_acc + fx, mfy_acc + fy, cx_acc + crx, cy_acc + cry)
 
 
 def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
-               kord_tr=9):
+               kord_tr=9, kord_wz=9):
     """Lagrangian -> Eulerian vertical remap to the ak/bk coordinate."""
-    delp, pt, u, v, q = state
+    delp, pt, u, v, q, w, delz = state
     # source interface pressures
     pe1 = ptop + jnp.concatenate(
         [jnp.zeros_like(delp[:, :1]), jnp.cumsum(delp, axis=1)], axis=1
@@ -324,7 +432,18 @@ def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
         )(q)
     else:
         q_new = None
-    return DycoreState(delp_new, pt_new, u_new, v_new, q_new)
+    if w is not None:
+        # w like a wind (kord_wz), delz via the specific volume -dz/dp
+        # (mass-weighted, so total column height is conserved)
+        w_new = rmp(w, pe1, pe2, -1, kord_wz)
+        sv = -delz / delp
+        sv_new = rmp(sv, pe1, pe2, 1, kord_wz)
+        delz_new = -sv_new * delp_new
+    else:
+        w_new, delz_new = None, None
+    return DycoreState(
+        delp_new, pt_new, u_new, v_new, q_new, w_new, delz_new
+    )
 
 
 def make_dycore_stepper(
@@ -389,7 +508,7 @@ def make_dycore_stepper(
                     ) / st2.delp
 
                 st2 = st2._replace(q=jax.vmap(tr)(st2.q))
-            st3 = remap_step(st2, ak, bk, ptop, kord, kord, kord)
+            st3 = remap_step(st2, ak, bk, ptop, kord, kord, kord, kord)
             return st3, None
 
         out, _ = jax.lax.scan(outer, state, None, length=k_split)

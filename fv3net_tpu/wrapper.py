@@ -52,6 +52,8 @@ CLOUD = "cloud_water_mixing_ratio"
 DELP = "pressure_thickness_of_atmospheric_layer"
 X_WIND = "x_wind"
 Y_WIND = "y_wind"
+VERTICAL_WIND = "vertical_wind"
+DELZ = "vertical_thickness_of_atmospheric_layer"
 EASTWARD_WIND = "eastward_wind"
 NORTHWARD_WIND = "northward_wind"
 SFC_GEO = "surface_geopotential"
@@ -218,6 +220,14 @@ class _Model:
             jnp.zeros((6, nz, n, n + 1), dtype),
             jnp.asarray(q, dtype),
         )
+        if not self.config.hydrostatic:
+            # reference namelist runs `hydrostatic: false`
+            # (test_regression.py:133-200): prognostic w + delz
+            from .dycore.hydro import add_nonhydrostatic_fields
+
+            self.state = add_nonhydrostatic_fields(
+                self.state, self.config.ptop
+            )
         self.phis = jnp.zeros((6, n, n), dtype)
         self.tsfc = np.full((6, n, n), 288.0)
         self.total_precip = np.zeros((6, n, n))
@@ -335,6 +345,20 @@ class _Model:
                     np.asarray(self.state.v),
                     ("tile", "z", "y", "x_interface"), "m/s",
                 )
+            elif name == VERTICAL_WIND:
+                if self.state.w is None:
+                    raise KeyError(
+                        "vertical_wind requires hydrostatic=False"
+                    )
+                out[name] = Quantity(
+                    np.asarray(self.state.w), DIMS_3D, "m/s"
+                )
+            elif name == DELZ:
+                if self.state.delz is None:
+                    raise KeyError(f"{DELZ} requires hydrostatic=False")
+                out[name] = Quantity(
+                    np.asarray(self.state.delz), DIMS_3D, "m"
+                )
             elif name in (EASTWARD_WIND, NORTHWARD_WIND):
                 ua, va = self._agrid_winds()
                 out[EASTWARD_WIND] = Quantity(ua, DIMS_3D, "m/s")
@@ -392,6 +416,14 @@ class _Model:
             elif name == Y_WIND:
                 self.state = self.state._replace(
                     v=jnp.asarray(qty.data, self.dtype)
+                )
+            elif name == VERTICAL_WIND:
+                self.state = self.state._replace(
+                    w=jnp.asarray(qty.data, self.dtype)
+                )
+            elif name == DELZ:
+                self.state = self.state._replace(
+                    delz=jnp.asarray(qty.data, self.dtype)
                 )
             elif name == TSFC:
                 self.tsfc = np.asarray(qty.data).copy()
