@@ -697,35 +697,32 @@ def ppm_remap(
     dp1 = pe1[1:] - pe1[:-1]
     al, ar, a6 = _reconstruct(q1, dp1, iv, kord, qs)
 
-    # cumulative layer masses C[e] = sum_{c<e} q1[c] dp1[c]
-    cum = jnp.concatenate(
-        [jnp.zeros_like(q1[:1]), jnp.cumsum(q1 * dp1, axis=0)], axis=0
-    )
-
     def cum_mass(p):
         """M(p) with constant extension beyond the source column.
 
-        p: [kn+1, ...] target edge pressures.
+        p: [kn+1, ...] target edge pressures.  Gather-free form (TPU:
+        take_along_axis lowers to per-element scalar gathers, ~2000x
+        slower than this dense clipped-parabola reduction): every
+        source layer contributes its parabola integral clipped to p,
+            s_k(p) = clip((p - pe1[k]) / dp1[k], 0, 1)
+            M(p)   = sum_k dp1[k] * [al s + (ar-al)/2 s^2
+                                      + a6 (s^2/2 - s^3/3)](s_k(p));
+        s=1 reduces to the layer mean a_k, so fully-covered layers
+        telescope exactly (conservation to roundoff).
         """
         pc = jnp.clip(p, pe1[0], pe1[km])
-        # locate source layer: L = (# of edges <= pc) - 1, clipped
-        # broadcast compare: [kn+1, km+1, ...]
-        le = (pe1[None, :] <= pc[:, None]).sum(axis=1) - 1
-        L = jnp.clip(le, 0, km - 1)
-        dpL = jnp.take_along_axis(dp1, L, axis=0)
-        peL = jnp.take_along_axis(pe1, L, axis=0)
-        s = (pc - peL) / dpL
-        alL = jnp.take_along_axis(al, L, axis=0)
-        arL = jnp.take_along_axis(ar, L, axis=0)
-        a6L = jnp.take_along_axis(a6, L, axis=0)
-        cumL = jnp.take_along_axis(cum, L, axis=0)
-        # integral of f(s') = al + s'*(ar-al) + a6*s'*(1-s') over [0, s]
-        part = dpL * (
-            alL * s
-            + 0.5 * (arL - alL) * s * s
-            + a6L * (0.5 * s * s - s * s * s / 3.0)
+        # [km, kn+1, ...] broadcast; XLA fuses the k-reduction.
+        # zero-thickness layers contribute nothing (guard the 0/0).
+        dp_safe = jnp.where(dp1 > 0, dp1, 1.0)
+        s = (pc[None] - pe1[:-1, None]) / dp_safe[:, None]
+        s = jnp.clip(s, 0.0, 1.0)
+        dal = ar - al
+        poly = (
+            al[:, None] * s
+            + 0.5 * dal[:, None] * s * s
+            + a6[:, None] * (0.5 * s * s - s * s * s / 3.0)
         )
-        m = cumL + part
+        m = jnp.sum(dp1[:, None] * poly, axis=0)
         # constant extensions
         m = m + q1[0] * jnp.minimum(p - pe1[0], 0.0)
         m = m + q1[km - 1] * jnp.maximum(p - pe1[km], 0.0)
@@ -760,14 +757,11 @@ def interpolate_columns(xp, x, y, fill_value=jnp.nan):
     Boundary semantics match the Fortran: xp == x[k] returns y[k] exactly,
     and xp == x[-1] (the last edge) is in range.
     """
-    n_in = x.shape[0]
-    le = (x[None, :] <= xp[:, None]).sum(axis=1) - 1
-    k = jnp.clip(le, 0, n_in - 2)
-    x0 = jnp.take_along_axis(x, k, axis=0)
-    x1 = jnp.take_along_axis(x, k + 1, axis=0)
-    y0 = jnp.take_along_axis(y, k, axis=0)
-    y1 = jnp.take_along_axis(y, k + 1, axis=0)
-    w = (xp - x0) / (x1 - x0)
-    out = y0 * (1.0 - w) + y1 * w
+    # gather-free (take_along_axis is per-element scalar gathers on
+    # TPU): for monotone x the piecewise-linear interpolant telescopes,
+    #   y(t) = y[0] + sum_k (y[k+1]-y[k]) clip((t-x[k])/(x[k+1]-x[k]),0,1)
+    s = (xp[None] - x[:-1, None]) / (x[1:, None] - x[:-1, None])
+    s = jnp.clip(s, 0.0, 1.0)
+    out = y[0] + jnp.sum((y[1:, None] - y[:-1, None]) * s, axis=0)
     in_range = (xp >= x[0]) & (xp <= x[-1])
     return jnp.where(in_range, out, fill_value)
