@@ -110,6 +110,8 @@ class ModelConfig:
     hydrostatic: bool = True
     do_held_suarez: bool = False
     do_sat_adj: bool = True
+    physics_suite: str = "simple"  # "simple" | "gfs" | "none"
+    do_radiation: bool = True  # gray radiation inside the gfs suite
     dtype: str = "float32"
     initial_time: str = "2016-08-01T00:00:00"
 
@@ -233,6 +235,19 @@ class _Model:
         self.total_precip = np.zeros((6, n, n))
         self.precip_rate = np.zeros((6, n, n))
         self._intermediate_restarts: List[str] = []
+        # GFS-suite extras
+        self.emulation_hooks = None  # (gscond, microphysics, store)
+        self.gfs_config = None
+        self._radiation = None
+        self._physics_diags: Dict[str, np.ndarray] = {}
+        if self.config.physics_suite == "gfs":
+            from .physics.gfs import GFSPhysicsConfig
+
+            self.gfs_config = GFSPhysicsConfig()
+            if self.config.do_radiation:
+                from .physics.radiation import RadiationDriver
+
+                self._radiation = RadiationDriver()
 
     # --- thermodynamic conversions ---------------------------------------
 
@@ -275,7 +290,34 @@ class _Model:
         pass  # surface/boundary-layer setup slot (no-op in simple suite)
 
     def step_radiation(self):
-        pass  # the python radiation port plugs in via RadiationStepper
+        """Gray-radiation heating inside the gfs suite (the reference
+        steps the Fortran RRTMG here unless the python RadiationStepper
+        override is configured, runtime/loop.py:470-484)."""
+        if self._radiation is None:
+            return
+        delp = np.asarray(self.state.delp, np.float64)
+        temp = self._temperature()
+        sphum = np.asarray(self.state.q[0], np.float64)
+        pe, _ = self._pressure_layers(delp)
+        p_lay = 0.5 * (pe[:, 1:] + pe[:, :-1])
+        self._radiation.radupdate(self.time)
+        out = self._radiation.gfs_radiation_driver(
+            self.time,
+            np.rad2deg(self.lon),
+            np.rad2deg(self.lat),
+            p_lay,
+            delp,
+            temp,
+            sphum,
+            self.tsfc,
+        )
+        heating = (
+            out["shortwave_heating_rate"] + out["longwave_heating_rate"]
+        )
+        self._set_temperature(temp + heating * self.config.dt_atmos)
+        self._physics_diags.update(
+            {k: np.asarray(v) for k, v in out.items()}
+        )
 
     def step_post_radiation_physics(self):
         if self.config.do_held_suarez:
@@ -294,6 +336,11 @@ class _Model:
             )
 
     def apply_physics(self):
+        if self.config.physics_suite == "gfs":
+            self._apply_gfs_physics()
+            return
+        if self.config.physics_suite == "none":
+            return
         if self.config.do_sat_adj:
             delp = np.asarray(self.state.delp, np.float64)
             temp = self._temperature()
@@ -310,6 +357,119 @@ class _Model:
             )
             self.total_precip += precip / 1000.0  # kg/m2 -> m
             self.precip_rate = precip / self.config.dt_atmos
+
+    def _apply_gfs_physics(self):
+        """Run the JAX GFS-style suite (PBL + convection + Zhao-Carr
+        microphysics), with online-emulation hook points around the
+        microphysics exactly like the reference's call_py_fort flow
+        (external/emulation/README.md:9-24): the physics result is
+        pushed into a state dict under the Zhao-Carr names, hooks may
+        write ``*_output`` keys that substitute it, and the store hook
+        captures everything for training data."""
+        import dataclasses as _dc
+
+        from .physics.gfs import gfs_physics_step, gscond, precpd
+
+        cfg = self.gfs_config
+        dt = self.config.dt_atmos
+        dtype = self.dtype
+        t = jnp.asarray(self._temperature(), dtype)
+        qv = self.state.q[0]
+        qc = self.state.q[1]
+        delp = self.state.delp
+        tsfc = jnp.asarray(self.tsfc, dtype)
+        hooks = self.emulation_hooks
+        inline_micro = hooks is None
+
+        run_cfg = _dc.replace(cfg, do_microphysics=inline_micro)
+        out, diags = gfs_physics_step(
+            t, qv, qc, self.state.u, self.state.v, delp, tsfc,
+            jnp.asarray(self.config.ptop, dtype), dt, cfg=run_cfg,
+        )
+        t2 = out["air_temperature"]
+        qv2 = out["specific_humidity"]
+        qc2 = out["cloud_water_mixing_ratio"]
+        precip = np.asarray(diags["total_precipitation"], np.float64)
+
+        if not inline_micro:
+            gscond_hook, micro_hook, store_hook = hooks
+            pe, _ = self._pressure_layers(np.asarray(delp, np.float64))
+            p = jnp.asarray(
+                0.5 * (pe[:, 1:] + pe[:, :-1]), dtype
+            )
+            sd = {
+                "air_temperature_input": np.asarray(t2),
+                "specific_humidity_input": np.asarray(qv2),
+                "cloud_water_mixing_ratio_input": np.asarray(qc2),
+                "pressure_thickness_of_atmospheric_layer":
+                    np.asarray(delp),
+                "air_pressure": np.asarray(p),
+                "surface_air_pressure": pe[:, -1],
+                "latitude": self.lat,
+                "longitude": self.lon,
+                "time": self.time,
+            }
+            # gscond: compute physics, let the hook substitute
+            tg, qvg, qcg = jax.jit(gscond)(t2, qv2, qc2, p, dt)
+            sd["air_temperature_after_gscond"] = np.asarray(tg)
+            sd["specific_humidity_after_gscond"] = np.asarray(qvg)
+            sd["cloud_water_mixing_ratio_after_gscond"] = np.asarray(
+                qcg
+            )
+            gscond_hook(sd)
+            tg = jnp.asarray(
+                sd.get("air_temperature_output", sd[
+                    "air_temperature_after_gscond"]), dtype)
+            qvg = jnp.asarray(
+                sd.get("specific_humidity_output", sd[
+                    "specific_humidity_after_gscond"]), dtype)
+            qcg = jnp.asarray(
+                sd.get("cloud_water_mixing_ratio_output", sd[
+                    "cloud_water_mixing_ratio_after_gscond"]), dtype)
+            sd.pop("air_temperature_output", None)
+            sd.pop("specific_humidity_output", None)
+            sd.pop("cloud_water_mixing_ratio_output", None)
+            # precpd
+            tp, qvp, qcp, pr = jax.jit(
+                lambda *a: precpd(*a, cfg=cfg)
+            )(tg, qvg, qcg, p, delp, jnp.asarray(dt, dtype))
+            sd["air_temperature_after_precpd"] = np.asarray(tp)
+            sd["specific_humidity_after_precpd"] = np.asarray(qvp)
+            sd["cloud_water_mixing_ratio_after_precpd"] = np.asarray(
+                qcp
+            )
+            sd["total_precipitation"] = np.asarray(pr)
+            micro_hook(sd)
+            t2 = jnp.asarray(
+                sd.get("air_temperature_output", sd[
+                    "air_temperature_after_precpd"]), dtype)
+            qv2 = jnp.asarray(
+                sd.get("specific_humidity_output", sd[
+                    "specific_humidity_after_precpd"]), dtype)
+            qc2 = jnp.asarray(
+                sd.get("cloud_water_mixing_ratio_output", sd[
+                    "cloud_water_mixing_ratio_after_precpd"]), dtype)
+            pr_np = np.asarray(
+                sd.get("total_precipitation_output",
+                       sd["total_precipitation"]), np.float64)
+            precip = precip + pr_np
+            store_hook(sd)
+
+        self.state = self.state._replace(
+            q=jnp.stack([qv2, qc2]).astype(dtype),
+            u=out["u_dgrid"].astype(dtype),
+            v=out["v_dgrid"].astype(dtype),
+        )
+        self._set_temperature(np.asarray(t2, np.float64))
+        self.total_precip += precip / 1000.0  # kg/m2 -> m
+        self.precip_rate = precip / dt
+        self._physics_diags.update(
+            {
+                k: np.asarray(v)
+                for k, v in diags.items()
+                if k != "total_precipitation"
+            }
+        )
 
     def save_intermediate_restart_if_enabled(self):
         pass  # wired by the segmented-run layer
@@ -497,6 +657,12 @@ class _Model:
         )
 
     def get_diagnostic_by_name(self, name: str) -> Quantity:
+        if name in self._physics_diags:
+            arr = self._physics_diags[name]
+            dims = DIMS_3D if arr.ndim == 4 else DIMS_2D
+            units = "W/m**2" if "flux" in name else (
+                "K/s" if "heating" in name else "")
+            return Quantity(arr.copy(), dims, units)
         mapping = {
             "total_precipitation_rate": PHYS_PRECIP_RATE,
             PHYS_PRECIP_RATE: PHYS_PRECIP_RATE,
