@@ -54,11 +54,13 @@ def _scalar_strip_tables(n: int, h: int, fill: str):
     north = flat[:, h + n :, :]
     west = flat[:, h : h + n, :h]  # [6, n, h]
     east = flat[:, h : h + n, h + n :]
+    # NOTE: cache numpy, not jnp -- a jnp constant materialized inside
+    # a jit trace would be cached as a tracer and leak into later traces
     return (
-        jnp.asarray(south.astype(np.int32)),
-        jnp.asarray(north.astype(np.int32)),
-        jnp.asarray(west.astype(np.int32)),
-        jnp.asarray(east.astype(np.int32)),
+        south.astype(np.int32),
+        north.astype(np.int32),
+        west.astype(np.int32),
+        east.astype(np.int32),
     )
 
 
@@ -82,7 +84,7 @@ def halo_exchange(field, h: int, fill: str = "none"):
     flat = src.reshape(src.shape[:-3] + (6 * n * n,))
 
     def take(tbl):
-        return jnp.take(flat, tbl, axis=-1)
+        return jnp.take(flat, jnp.asarray(tbl), axis=-1)
 
     s, nn_, w, e = take(south), take(north), take(west), take(east)
     mid = jnp.concatenate([w, src, e], axis=-1)  # [..., 6, n, N]
