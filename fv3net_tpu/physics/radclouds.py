@@ -1,0 +1,103 @@
+"""Cloud and aerosol optical properties for the multi-band scheme.
+
+Plays the role of the reference's `radiation_clouds.py` (CloudClass,
+1,778 LoC: progcld cloud-property diagnosis) and
+`radiation_aerosols.py` (AerosolClass, 2,480 LoC: climatological
+aerosol optical depth by band), per SURVEY 2.2.  TPU-native form:
+pure jnp expressions producing per-band (tau, ssa, asy) arrays that
+broadcast straight into the two-stream solvers.
+
+Liquid optics follow the Slingo-style 1/r_eff law, ice optics a
+Fu-style law; LW emissivity uses mass absorption coefficients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..constants import GRAV
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudOpticsParams:
+    reff_liq: float = 10.0e-6   # m
+    reff_ice: float = 30.0e-6   # m
+    # SW single-scattering albedo / asymmetry (visible-to-nir averages)
+    ssa_liq: float = 0.9995
+    ssa_ice: float = 0.9975
+    asy_liq: float = 0.85
+    asy_ice: float = 0.80
+    # LW mass absorption (m^2/kg)
+    k_lw_liq: float = 140.0
+    k_lw_ice: float = 70.0
+
+
+def cloud_fraction_from_rh(rh, crit=0.85):
+    """Diagnostic (Sundqvist) cloud fraction from relative humidity —
+    the role of progcld's cldtot diagnosis (radiation_clouds.py)."""
+    x = jnp.clip((rh - crit) / (1.0 - crit), 0.0, 1.0)
+    return 1.0 - jnp.sqrt(1.0 - x)
+
+
+def cloud_optics_sw(cwp_liq, cwp_ice, params=CloudOpticsParams()):
+    """SW cloud optical depth / ssa / asymmetry from in-cloud water
+    paths (kg/m^2).  Geometric-optics limit: tau = 3 W / (2 rho_w r)."""
+    tau_l = 1.5 * cwp_liq / (1000.0 * params.reff_liq)
+    tau_i = 1.5 * cwp_ice / (917.0 * params.reff_ice)
+    tau = tau_l + tau_i
+    w = jnp.where(
+        tau > 0.0,
+        (params.ssa_liq * tau_l + params.ssa_ice * tau_i)
+        / jnp.maximum(tau, 1e-30),
+        1.0,
+    )
+    g = jnp.where(
+        tau > 0.0,
+        (params.asy_liq * tau_l + params.asy_ice * tau_i)
+        / jnp.maximum(tau, 1e-30),
+        0.85,
+    )
+    return tau, w, g
+
+
+def cloud_optics_lw(cwp_liq, cwp_ice, params=CloudOpticsParams()):
+    """LW absorption optical depth from in-cloud water paths."""
+    return params.k_lw_liq * cwp_liq + params.k_lw_ice * cwp_ice
+
+
+def condensate_paths(delp, ql, qi):
+    """In-cloud water paths per layer from grid-mean condensate mixing
+    ratios (kg/kg) and layer thickness (Pa)."""
+    air = delp / GRAV
+    return ql * air, qi * air
+
+
+@dataclasses.dataclass(frozen=True)
+class AerosolClimatology:
+    """Single-mode climatological aerosol (AerosolClass role,
+    radiation_aerosols.py): exponential profile with a fixed column
+    optical depth at 550 nm, Angstrom scaling across SW bands."""
+
+    aod550: float = 0.12
+    scale_height_pa: float = 2.0e4  # e-folding depth in pressure
+    ssa: float = 0.95
+    asy: float = 0.70
+    # per-SW-band scaling of the 550nm AOD (Angstrom exponent ~1.3)
+    band_scale: tuple = (2.1, 1.0, 0.55, 0.33, 0.21, 0.13)
+
+    def sw_optics(self, p_lay, delp):
+        """Per-layer aerosol (tau[band, nz, ...cols], ssa, asy).
+
+        Level axis is axis 0 (solver convention, TOA first)."""
+        psfc = delp.sum(axis=0, keepdims=True)
+        shape_prof = jnp.exp(-(psfc - p_lay) / self.scale_height_pa)
+        wt = shape_prof * delp
+        wt = wt / jnp.maximum(wt.sum(axis=0, keepdims=True), 1e-30)
+        tau550 = self.aod550 * wt
+        scale = jnp.asarray(self.band_scale)
+        tau = scale.reshape(
+            (len(self.band_scale),) + (1,) * tau550.ndim
+        ) * tau550[None]
+        return tau, self.ssa, self.asy

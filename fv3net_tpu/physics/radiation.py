@@ -112,6 +112,103 @@ class RadiationDriver:
         }
 
 
+class MultibandRadiationDriver:
+    """Multi-band RRTMG-role driver (radiation_driver.py:18): SW
+    delta-Eddington two-stream + adding (radsw.py), LW band absorption
+    (radlw.py), cloud/aerosol/gas optics (radclouds/radgases), all
+    jitted over [band, nz, columns] batches.
+
+    Same call contract as the gray `RadiationDriver` so the `Radiation`
+    facade and `RadiationStepper` drive either scheme.
+    """
+
+    def __init__(self, albedo: float = 0.12, co2_ppmv: float = 420.0):
+        import jax
+
+        from . import radlw, radsw
+        from .radgases import GasConcentrations, default_o3_profile
+
+        self.albedo = albedo
+        gases = GasConcentrations(co2_ppmv=co2_ppmv)
+        self._sw = radsw.RadSWClass(gases=gases)
+        self._lw = radlw.RadLWClass(gases=gases)
+        self._o3 = default_o3_profile
+        self._solcon = SOLAR_CONSTANT
+        self._jit = jax.jit(self._compute)
+
+    def radupdate(self, time: datetime.datetime):
+        """(radiation_driver.py:209): annual solar-constant cycle."""
+        doy = time.timetuple().tm_yday
+        self._solcon = SOLAR_CONSTANT * (
+            1.0 + 0.034 * np.cos(2 * np.pi * (doy - 3) / 365.25)
+        )
+
+    def _compute(self, cosz, p_lay, delp, temp, sphum, ql, qi, tsfc,
+                 solcon):
+        import jax.numpy as jnp
+
+        from .radclouds import cloud_fraction_from_rh
+        from ..utils.thermo import relative_humidity_from_pressure
+
+        o3 = self._o3(p_lay)
+        rh = relative_humidity_from_pressure(temp, sphum, p_lay)
+        cf = cloud_fraction_from_rh(rh)
+
+        def cols(x):  # [6, nz, n, n] -> [nz, 6, n, n]
+            return jnp.moveaxis(x, 1, 0)
+
+        sw = self._sw(
+            jnp.maximum(cosz, 0.0), cols(p_lay), cols(delp),
+            cols(sphum), cols(o3), cols(ql), cols(qi), cols(cf),
+            jnp.full_like(tsfc, self.albedo), solcon,
+        )
+        lw = self._lw(
+            cols(p_lay), cols(delp), cols(temp), cols(sphum),
+            cols(o3), cols(ql), cols(qi), cols(cf), tsfc,
+        )
+
+        def rows(x):  # [nz(+1), 6, n, n] -> [6, nz(+1), n, n]
+            return jnp.moveaxis(x, 0, 1)
+
+        return {
+            "total_sky_downward_shortwave_flux_at_surface":
+                sw["sfc_dn"],
+            "total_sky_net_shortwave_flux_at_surface": sw["sfc_net"],
+            "total_sky_downward_longwave_flux_at_surface":
+                lw["sfc_dn"],
+            "total_sky_upward_longwave_flux_at_surface": lw["sfc_up"],
+            "shortwave_heating_rate": rows(sw["heating_rate"]),
+            "longwave_heating_rate": rows(lw["heating_rate"]),
+            "total_sky_downward_shortwave_flux_at_top_of_atmosphere":
+                sw["toa_dn"],
+            "total_sky_upward_shortwave_flux_at_top_of_atmosphere":
+                sw["toa_up"],
+            "total_sky_upward_longwave_flux_at_top_of_atmosphere":
+                lw["olr"],
+        }
+
+    def gfs_radiation_driver(
+        self, time, lon_deg, lat_deg, p_lay, delp, temp, sphum, tsfc,
+        ql=None, qi=None,
+    ) -> Mapping[str, np.ndarray]:
+        """(radiation_driver.py:354). Fields [6, nz, n, n]; lon/lat/
+        tsfc [6, n, n]; ql/qi optional condensate mixing ratios."""
+        import jax.numpy as jnp
+
+        cosz = np.maximum(cos_zenith_angle(time, lon_deg, lat_deg), 0.0)
+        if ql is None:
+            ql = np.zeros_like(sphum)
+        if qi is None:
+            qi = np.zeros_like(sphum)
+        out = self._jit(
+            jnp.asarray(cosz), jnp.asarray(p_lay), jnp.asarray(delp),
+            jnp.asarray(temp), jnp.asarray(sphum), jnp.asarray(ql),
+            jnp.asarray(qi), jnp.asarray(tsfc),
+            jnp.asarray(self._solcon),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
 class Radiation:
     """Facade wiring the driver to wrapper state names
     (wrapper_api.py:119)."""

@@ -146,14 +146,18 @@ def net_heating_from_physics(
 
 
 def saturation_vapor_pressure(T):
+    import jax.numpy as jnp
+
     tc = T - 273.15
-    return 611.2 * np.exp(17.67 * tc / (tc + 243.5))
+    return 611.2 * jnp.exp(17.67 * tc / (tc + 243.5))
 
 
 def saturation_mixing_ratio(p, T):
+    import jax.numpy as jnp
+
     es = saturation_vapor_pressure(T)
     eps = RDGAS / RVGAS
-    return eps * es / np.maximum(p - es, 1.0)
+    return eps * es / jnp.maximum(p - es, 1.0)
 
 
 def relative_humidity_from_pressure(T, q, p):
