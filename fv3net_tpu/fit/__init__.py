@@ -51,6 +51,16 @@ from .sklearn_models import (
     MinMaxNoveltyDetector,
     train_min_max_novelty_detector,
 )
+from .graph import (
+    train_graph_model,
+    GraphHyperparameters,
+    GraphModel,
+)
+from .recurrent import (
+    train_fmr_model,
+    FMRHyperparameters,
+    FMRModel,
+)
 
 __all__ = [
     "ArrayPacker",

@@ -70,7 +70,8 @@ def _halo_radius(hp: ConvolutionalHyperparameters) -> int:
 
 def _stack_channels(state, names):
     """[6, z, y, x] fields -> [6, y, x, sum(z)]; 2D fields add one
-    channel.  Returns (array, per-name channel widths)."""
+    channel.  Returns (array, per-name widths); width 0 marks a 2D
+    [6, y, x] field (so a z=1 3D field stays distinguishable)."""
     blocks, widths = [], {}
     for name in names:
         arr = np.asarray(state[name].values, np.float32)
@@ -79,10 +80,33 @@ def _stack_channels(state, names):
             widths[name] = arr.shape[1]
         elif arr.ndim == 3:
             blocks.append(arr[..., None])
-            widths[name] = 1
+            widths[name] = 0
         else:
             raise ValueError(f"bad rank for {name}: {arr.shape}")
     return np.concatenate(blocks, axis=-1), widths
+
+
+def _num_channels(widths) -> int:
+    return int(sum(max(w, 1) for w in widths.values()))
+
+
+def _unstack_channels(y, names, widths):
+    """Inverse of _stack_channels: [..., y, x, c] -> Quantity dict."""
+    from ..util.quantity import Quantity
+
+    out, i = {}, 0
+    for name in names:
+        w = widths[name]
+        wc = max(w, 1)
+        block = y[..., i : i + wc]
+        i += wc
+        if w == 0:
+            out[name] = Quantity(block[..., 0], ("tile", "y", "x"), "")
+        else:
+            out[name] = Quantity(
+                np.moveaxis(block, -1, 1), ("tile", "z", "y", "x"), ""
+            )
+    return out
 
 
 def append_halos(tilewise: jnp.ndarray, n_halo: int) -> jnp.ndarray:
@@ -122,21 +146,9 @@ class ConvolutionalModel(Predictor):
             self._apply(self.params, jnp.asarray(xn, jnp.float32))
         )
         y = yn * self.scaler_out.std + self.scaler_out.mean
-        out, i = {}, 0
-        for name in self.output_variables:
-            w = self.widths_out[name]
-            block = y[..., i : i + w]
-            i += w
-            if w > 1:
-                out[name] = Quantity(
-                    np.moveaxis(block, -1, 1), ("tile", "z", "y", "x"),
-                    "",
-                )
-            else:
-                out[name] = Quantity(
-                    block[..., 0], ("tile", "y", "x"), ""
-                )
-        return out
+        return _unstack_channels(
+            y, self.output_variables, self.widths_out
+        )
 
     def dump(self, path: str):
         self.scaler_in.dump(os.path.join(path, "scaler_in.npz"))
@@ -153,7 +165,7 @@ class ConvolutionalModel(Predictor):
             "kernel": self.module.kernel,
             "n_out": self.module.n_out,
             "n_halo": self.n_halo,
-            "n_in": int(sum(self.widths_in.values())),
+            "n_in": _num_channels(self.widths_in),
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)

@@ -222,3 +222,121 @@ def test_cyclegan_trains_and_roundtrips(tmp_path):
         loaded.predict(batches[0])["fine"].values,
         pred["fine"].values, rtol=1e-5, atol=1e-5,
     )
+
+
+# -------------------------------------------------------------- graph
+
+
+@pytest.mark.parametrize("arch", ["mpg", "unet"])
+def test_graph_train_predict_roundtrip(tmp_path, arch):
+    batches = [_cube_batch(s) for s in range(2)]
+    model = fit.train_graph_model(
+        fit.GraphHyperparameters(
+            architecture=arch, width=8, depth=2, epochs=150,
+            learning_rate=3e-3,
+        ),
+        batches,
+        input_variables=["a_in"],
+        output_variables=["b_out"],
+    )
+    pred = model.predict(batches[0])
+    assert pred["b_out"].shape == (6, NZ, N, N)
+    truth = batches[0]["b_out"].values
+    base = np.mean((truth - truth.mean()) ** 2)
+    mse = np.mean((pred["b_out"].values - truth) ** 2)
+    assert mse < 0.6 * base, f"{arch} did not learn: {mse} vs {base}"
+    # io registry round trip
+    path = str(tmp_path / f"graph_{arch}")
+    fit.dump(model, path)
+    loaded = fit.load(path)
+    again = loaded.predict(batches[0])
+    np.testing.assert_allclose(
+        again["b_out"].values, pred["b_out"].values, rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_graph_message_passing_sees_neighbors():
+    """A graph model CAN represent neighbor-dependent targets a
+    pointwise map cannot: shifted-field prediction improves on the
+    climatological baseline."""
+    rng = np.random.RandomState(3)
+    a = rng.randn(6, 1, N, N).astype(np.float32)
+    import jax.numpy as jnp
+
+    from fv3net_tpu.grid.halo import halo_exchange
+
+    padded = np.asarray(halo_exchange(jnp.asarray(a), 1))
+    shifted = padded[:, :, 2:, 1:-1]  # north neighbor
+    batch = {
+        "a_in": Quantity(a, ("tile", "z", "y", "x"), ""),
+        "b_out": Quantity(shifted, ("tile", "z", "y", "x"), ""),
+    }
+    model = fit.train_graph_model(
+        fit.GraphHyperparameters(width=16, depth=1, epochs=400,
+                                 learning_rate=5e-3),
+        [batch],
+        input_variables=["a_in"],
+        output_variables=["b_out"],
+    )
+    pred = model.predict(batch)["b_out"].values
+    mse = np.mean((pred - shifted) ** 2)
+    assert mse < 0.35 * np.var(shifted)
+
+
+# ---------------------------------------------------------------- fmr
+
+
+def _time_series(T=12, seed=0):
+    """Forced linear dynamics: s_{t+1} = 0.9 s_t + 0.5 f_t."""
+    rng = np.random.RandomState(seed)
+    f = rng.randn(T, 6, 2, N, N).astype(np.float32)
+    s = np.zeros((T, 6, 2, N, N), np.float32)
+    for t in range(T - 1):
+        s[t + 1] = 0.9 * s[t] + 0.5 * f[t]
+    batches = []
+    for t in range(T):
+        batches.append({
+            "forcing": Quantity(f[t], ("tile", "z", "y", "x"), ""),
+            "state": Quantity(s[t], ("tile", "z", "y", "x"), ""),
+        })
+    return batches, f, s
+
+
+def test_fmr_learns_forced_linear_dynamics(tmp_path):
+    batches, f, s = _time_series()
+    model = fit.train_fmr_model(
+        fit.FMRHyperparameters(hidden=32, epochs=500,
+                               learning_rate=3e-3),
+        batches,
+        input_variables=["forcing"],
+        output_variables=["state"],
+    )
+    pred = model.predict(batches[3])
+    assert pred["state"].shape == (6, 2, N, N)
+    err = np.mean((pred["state"].values - s[4]) ** 2)
+    assert err < 0.5 * np.var(s[4]) + 1e-3
+
+    path = str(tmp_path / "fmr")
+    fit.dump(model, path)
+    loaded = fit.load(path)
+    np.testing.assert_allclose(
+        loaded.predict(batches[3])["state"].values,
+        pred["state"].values, rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_fmr_rollout_shape():
+    batches, f, s = _time_series(T=6)
+    model = fit.train_fmr_model(
+        fit.FMRHyperparameters(hidden=16, epochs=50),
+        batches,
+        input_variables=["forcing"],
+        output_variables=["state"],
+    )
+    cols = 6 * N * N
+    s0 = s[0].transpose(0, 2, 3, 1).reshape(cols, 2)
+    ff = f.transpose(0, 1, 3, 4, 2).reshape(6, cols, 2)
+    traj = model.predict_rollout(s0, ff)
+    assert traj.shape == (6, cols, 2)
+    assert np.isfinite(traj).all()
