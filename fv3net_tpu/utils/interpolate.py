@@ -42,3 +42,46 @@ def interpolate_to_pressure_levels(
         lev.reshape(expand), shape
     )
     return interpolate_1d(target, pmid, field, axis=axis)
+
+
+def interpolate_unstructured(data, coords):
+    """(vcm/interpolate.py:246): interpolate fields sampled at
+    unstructured points onto target points by nearest neighbor.
+
+    data: mapping name -> array [..., n_points] (trailing axis is the
+    sample axis); coords: mapping coord_name -> (source_points,
+    target_points) pairs of 1D arrays (e.g. {"lon": (src_lon, tgt_lon),
+    "lat": (src_lat, tgt_lat)}).  Lon/lat coords (degrees) are matched
+    on the unit sphere; other coords euclidean.  Returns mapping of
+    name -> array [..., n_targets].
+    """
+    from scipy.spatial import cKDTree
+
+    src_cols, tgt_cols = [], []
+    for name, (src, tgt) in coords.items():
+        src = np.asarray(src, float)
+        tgt = np.asarray(tgt, float)
+        if name.lower().startswith(("lon", "lat")):
+            continue  # handled jointly below
+        src_cols.append(src[:, None])
+        tgt_cols.append(tgt[:, None])
+    lon = coords.get("lon") or coords.get("longitude")
+    lat = coords.get("lat") or coords.get("latitude")
+    if lon is not None and lat is not None:
+        def xyz(lo, la):
+            lo = np.deg2rad(np.asarray(lo, float))
+            la = np.deg2rad(np.asarray(la, float))
+            return np.stack(
+                [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                 np.sin(la)], axis=-1,
+            )
+
+        src_cols.append(xyz(lon[0], lat[0]))
+        tgt_cols.append(xyz(lon[1], lat[1]))
+    src_pts = np.concatenate(src_cols, axis=-1)
+    tgt_pts = np.concatenate(tgt_cols, axis=-1)
+    _, nearest = cKDTree(src_pts).query(tgt_pts)
+    return {
+        name: np.asarray(arr)[..., nearest]
+        for name, arr in data.items()
+    }
