@@ -69,6 +69,185 @@ def _evaporation(dm: DerivedMapping) -> Quantity:
     )
 
 
+# --- the vcm.DerivedMapping registered-variable set -------------------
+# (vcm/derived_mapping.py:8-38 registers ~28 names; those expressible
+# from this framework's canonical state are reproduced here)
+
+
+def _delp(dm):
+    return dm[names.DELP]
+
+
+@DerivedMapping.register("pressure")
+def _pressure(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import pressure_at_midpoint_log
+
+    delp = _delp(dm)
+    return Quantity(
+        np.asarray(pressure_at_midpoint_log(delp.values)),
+        delp.dims, "Pa",
+    )
+
+
+@DerivedMapping.register("pressure_at_interface")
+def _pressure_interface(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import pressure_interface
+
+    delp = _delp(dm)
+    return Quantity(
+        np.asarray(pressure_interface(delp.values)), delp.dims, "Pa"
+    )
+
+
+@DerivedMapping.register("surface_pressure")
+def _surface_pressure(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import surface_pressure_from_delp
+
+    delp = _delp(dm)
+    ps = np.asarray(surface_pressure_from_delp(delp.values))
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(ps, dims, "Pa")
+
+
+@DerivedMapping.register("relative_humidity")
+def _relative_humidity(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import (
+        pressure_at_midpoint_log,
+        relative_humidity_from_pressure,
+    )
+
+    T = dm[names.TEMP]
+    q = dm[names.SPHUM]
+    p = pressure_at_midpoint_log(_delp(dm).values)
+    rh = np.asarray(
+        relative_humidity_from_pressure(T.values, q.values, p)
+    )
+    return Quantity(rh, T.dims, "")
+
+
+@DerivedMapping.register("potential_temperature")
+def _theta(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import (
+        potential_temperature,
+        pressure_at_midpoint_log,
+    )
+
+    T = dm[names.TEMP]
+    p = pressure_at_midpoint_log(_delp(dm).values)
+    return Quantity(
+        np.asarray(potential_temperature(p, T.values)), T.dims, "K"
+    )
+
+
+@DerivedMapping.register("virtual_temperature")
+def _tv(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import virtual_temperature
+
+    T = dm[names.TEMP]
+    q = dm[names.SPHUM]
+    return Quantity(
+        np.asarray(virtual_temperature(T.values, q.values)), T.dims,
+        "K",
+    )
+
+
+@DerivedMapping.register("total_water")
+def _total_water(dm: DerivedMapping) -> Quantity:
+    q = dm[names.SPHUM]
+    qc = dm[names.CLOUD]
+    return Quantity(q.values + qc.values, q.dims, "kg/kg")
+
+
+@DerivedMapping.register("column_integrated_water")
+def _ciw(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import mass_integrate
+
+    tw = dm["total_water"]
+    delp = _delp(dm)
+    col = np.asarray(mass_integrate(tw.values, delp.values))
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(col, dims, "kg/m**2")
+
+
+@DerivedMapping.register("water_vapor_path")
+def _wvp(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import mass_integrate
+
+    q = dm[names.SPHUM]
+    delp = _delp(dm)
+    col = np.asarray(mass_integrate(q.values, delp.values))
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(col, dims, "kg/m**2")
+
+
+@DerivedMapping.register("wind_speed")
+def _wind_speed(dm: DerivedMapping) -> Quantity:
+    u = dm[names.EASTWARD_WIND]
+    v = dm[names.NORTHWARD_WIND]
+    return Quantity(
+        np.sqrt(u.values ** 2 + v.values ** 2), u.dims, "m/s"
+    )
+
+
+@DerivedMapping.register("is_land")
+def _is_land(dm: DerivedMapping) -> Quantity:
+    m = dm[names.MASK]
+    return Quantity(
+        np.asarray(np.rint(m.values) == 1.0), m.dims, ""
+    )
+
+
+@DerivedMapping.register("is_sea")
+def _is_sea(dm: DerivedMapping) -> Quantity:
+    m = dm[names.MASK]
+    return Quantity(
+        np.asarray(np.rint(m.values) == 0.0), m.dims, ""
+    )
+
+
+@DerivedMapping.register("is_sea_ice")
+def _is_sea_ice(dm: DerivedMapping) -> Quantity:
+    m = dm[names.MASK]
+    return Quantity(
+        np.asarray(np.rint(m.values) == 2.0), m.dims, ""
+    )
+
+
+@DerivedMapping.register("net_heating_due_to_machine_learning")
+def _net_heating_ml(dm: DerivedMapping) -> Quantity:
+    from ..constants import CP_AIR
+    from ..utils.thermo import mass_integrate
+
+    dq1 = dm["dQ1"]
+    delp = _delp(dm)
+    col = CP_AIR * np.asarray(
+        mass_integrate(dq1.values, delp.values)
+    )
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(col, dims, "W/m**2")
+
+
+@DerivedMapping.register("net_moistening_due_to_machine_learning")
+def _net_moistening_ml(dm: DerivedMapping) -> Quantity:
+    from ..utils.thermo import mass_integrate
+
+    dq2 = dm["dQ2"]
+    delp = _delp(dm)
+    col = np.asarray(mass_integrate(dq2.values, delp.values))
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(col, dims, "kg/m**2/s")
+
+
+@DerivedMapping.register("latent_heat_flux_from_evaporation")
+def _lhf_from_evap(dm: DerivedMapping) -> Quantity:
+    from ..constants import LATENT_HEAT_VAPORIZATION
+
+    e = dm["evaporation"]
+    return Quantity(
+        e.values * LATENT_HEAT_VAPORIZATION, e.dims, "W/m**2"
+    )
+
+
 class DerivedModelState(MutableMapping):
     """Dict-like wrapper-state view (DerivedFV3State equivalent)."""
 
