@@ -6,19 +6,53 @@ tracer transport, and conservative vertical remap) at C48 x 63 levels,
 float32 -- the reference's prognostic-run configuration
 (`hydrostatic: false`, `a_imp: 1.0`, test_regression.py:133-200;
 SURVEY 6).  Metric: gridcell-updates/s/chip (cells x levels x substeps
-per wall-second) plus SYPD at dt_atmos=900s.
+per wall-second) plus SYPD at dt_atmos=900s.  The north-star C384 x 63
+single-chip step (BASELINE.md) is measured as a second stage and
+reported in `detail`.
+
+Robustness contract (the round-1 run timed out with no output): a hard
+wall-clock budget enforced by a watchdog thread that flushes the
+best-available JSON and exits; a persistent XLA compilation cache under
+.jax_cache so repeat runs skip the 20-40 s compiles; stages ordered so
+the headline number lands first.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
-import numpy as np
+HARD_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "110"))
+_T0 = time.perf_counter()
+_RESULT = {
+    "metric": "dycore_cell_updates_per_s",
+    "value": None,
+    "unit": "cell-substep-updates/s/chip",
+    "vs_baseline": None,
+    "detail": {"stage": "startup"},
+}
+_DONE = threading.Event()
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _flush_and_exit():
+    print(json.dumps(_RESULT), flush=True)
+    os._exit(0)
 
+
+def _watchdog():
+    while not _DONE.wait(0.5):
+        if time.perf_counter() - _T0 > HARD_BUDGET_S:
+            _RESULT["detail"]["timeout"] = True
+            _flush_and_exit()
+
+
+def _remaining():
+    return HARD_BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _time_config(n, nz, jax, jnp, iters_budget_s=6.0):
+    """Compile + time the nonhydrostatic dycore step at C<n> x nz."""
     from fv3net_tpu.dycore.hydro import (
         add_nonhydrostatic_fields,
         make_dycore_stepper,
@@ -26,7 +60,6 @@ def main():
     from fv3net_tpu.grid import CubedSphereGrid
     from __graft_entry__ import _rest_state
 
-    n, nz = 48, 63
     k_split, n_split = 1, 6
     dt_atmos = 900.0
     g = CubedSphereGrid.make(n, halo=3)
@@ -34,9 +67,9 @@ def main():
         g, nz, dt_atmos=dt_atmos, k_split=k_split, n_split=n_split,
         hord=5, dtype=jnp.float32,
     )
-    state = _rest_state(g, nz, 300.0, jnp.float32)
-    state = jax.tree_util.tree_map(jnp.asarray, state)
-    # perturb so the flow is nontrivial
+    state = jax.tree_util.tree_map(
+        jnp.asarray, _rest_state(g, nz, 300.0, jnp.float32)
+    )
     key = jax.random.PRNGKey(0)
     state = state._replace(
         pt=state.pt
@@ -50,37 +83,101 @@ def main():
     out.delp.block_until_ready()
     compile_s = time.perf_counter() - t0
 
-    iters = 20
+    # one timed probe step, then as many iterations as the budget allows
     t0 = time.perf_counter()
-    st = out
+    st = run(out, phis, 1)
+    st.delp.block_until_ready()
+    probe = time.perf_counter() - t0
+    iters = max(1, min(20, int(iters_budget_s / max(probe, 1e-4))))
+    t0 = time.perf_counter()
     for _ in range(iters):
         st = run(st, phis, 1)
     st.delp.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
-
     assert bool(jnp.isfinite(st.delp).all()), "state blew up"
+
     cells = 6 * n * n * nz
     updates_per_s = cells * (k_split * n_split) / dt
-    sypd = dt_atmos / dt / 365.25 / 86400.0 * 86400.0
-    print(
-        json.dumps(
-            {
-                "metric": "dycore_cell_updates_per_s",
-                "value": updates_per_s,
-                "unit": "cell-substep-updates/s/chip",
-                "vs_baseline": None,
-                "detail": {
-                    "config": (
-                        f"C{n} nz={nz} k_split={k_split} "
-                        f"n_split={n_split} f32 nonhydrostatic"
-                    ),
-                    "step_ms": dt * 1e3,
-                    "simulated_years_per_day": sypd,
-                    "compile_s": compile_s,
-                },
-            }
-        )
+    sypd = dt_atmos / dt  # (model s per wall s) == SYPD since both /86400
+    return {
+        "updates_per_s": updates_per_s,
+        "step_ms": dt * 1e3,
+        "simulated_years_per_day": sypd / 365.25,
+        "compile_s": compile_s,
+        "config": (
+            f"C{n} nz={nz} k_split={k_split} n_split={n_split} "
+            "f32 nonhydrostatic"
+        ),
+    }
+
+
+def main():
+    os.makedirs(".jax_cache", exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _RESULT["detail"] = {
+        "stage": "import-done",
+        "device": str(jax.devices()[0].device_kind),
+        "platform": jax.devices()[0].platform,
+    }
+
+    # --- stage 1: headline C48 x 63 ----------------------------------
+    r48 = _time_config(48, 63, jax, jnp)
+    _RESULT["value"] = r48["updates_per_s"]
+    _RESULT["detail"].update(
+        {
+            "stage": "c48-done",
+            "config": r48["config"],
+            "step_ms": r48["step_ms"],
+            "simulated_years_per_day": r48["simulated_years_per_day"],
+            "compile_s": r48["compile_s"],
+        }
     )
+
+    # --- stage 2: north-star C384 x 63 single chip (BASELINE.md) -----
+    # skipped when the remaining budget cannot absorb a cold compile
+    if _remaining() > 55.0 or (
+        _remaining() > 25.0 and r48["compile_s"] < 5.0
+    ):
+        try:
+            r384 = _time_config(384, 63, jax, jnp, iters_budget_s=4.0)
+            gridpoints_per_s = 6 * 384 * 384 * 63 / (
+                r384["step_ms"] / 1e3
+            )
+            # HBM-traffic roofline: the substep streams ~40 padded
+            # fields x 4 B/cell (halo reads, flux pairs, remap): an
+            # estimated ~160 B/cell-update lower bound; v5e peak
+            # ~819 GB/s.
+            est_bytes_per_update = 160.0
+            achieved_gbs = (
+                r384["updates_per_s"] * est_bytes_per_update / 1e9
+            )
+            _RESULT["detail"]["c384"] = {
+                "config": r384["config"],
+                "step_ms": r384["step_ms"],
+                "gridpoints_per_s_per_chip": gridpoints_per_s,
+                "cell_substep_updates_per_s": r384["updates_per_s"],
+                "compile_s": r384["compile_s"],
+                "simulated_years_per_day": r384[
+                    "simulated_years_per_day"
+                ],
+                "est_hbm_gbs": achieved_gbs,
+                "est_hbm_fraction_of_819gbs": achieved_gbs / 819.0,
+            }
+            _RESULT["detail"]["stage"] = "c384-done"
+        except Exception as e:  # OOM etc: keep the headline number
+            _RESULT["detail"]["c384_error"] = repr(e)
+    else:
+        _RESULT["detail"]["c384"] = "skipped (budget)"
+
+    _DONE.set()
+    _flush_and_exit()
 
 
 if __name__ == "__main__":

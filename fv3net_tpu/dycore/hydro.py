@@ -34,6 +34,7 @@ import numpy as np
 from ..constants import CP_AIR, KAPPA, REFERENCE_SURFACE_PRESSURE
 from ..grid.geometry import CubedSphereGrid
 from ..grid.halo import (
+    canonicalize_cgrid_boundary,
     halo_exchange,
     halo_exchange_cgrid,
     halo_exchange_dgrid,
@@ -42,7 +43,20 @@ from ..constants import GRAV
 from ..ops.advection import fv_tp_2d
 from ..ops.remap import ppm_remap
 from .riemann import layer_mean_pressure, sim1_solver
-from .sw import SWMetrics, _shx, _shy, c_grid_winds
+from ..grid.halo import average_dgrid_boundary
+from .sw import (
+    CORNER_DAMP_COEF,
+    FILTER_COEF,
+    VORT_DAMP_COEF,
+    SWMetrics,
+    _shx,
+    _shy,
+    c_grid_winds,
+    corner_div_damp,
+    div_damp,
+    scalar_filter,
+    vort_damp,
+)
 
 
 class DycoreState(NamedTuple):
@@ -57,16 +71,61 @@ class DycoreState(NamedTuple):
     delz: Optional[jax.Array] = None  # [6, nz, n, n] layer thickness (m)
 
 
-def hybrid_coefficients(nz: int, ptop: float = 300.0):
-    """Simple hybrid sigma-p coefficients: pe = ak + bk * ps.
+def hybrid_coefficients(
+    nz: int,
+    ptop: float = 300.0,
+    transition_eta: float = 0.2,
+    exponent: float = 1.0,
+    stretch: float = 1.4,
+    table=None,
+):
+    """Hybrid sigma-p coefficients: pe = ak + bk * ps.
 
-    A smooth default (pure sigma below, pure pressure at top) standing in
-    for FV3's tabulated ak/bk; npz=63 matches the reference C12 config.
+    Default: the published Jablonowski & Williamson (2006) / DCMIP
+    hybrid definition (the standard coordinate for baroclinic-wave
+    dycore validation): eta levels from eta_top = ptop/p0 to 1 with a
+    power-law stretch clustering resolution near the surface,
+    bk = ((eta - eta_t)/(1 - eta_t))^c above the transition (pure
+    pressure for eta < eta_t, i.e. FV3's `ks` pure-pressure top
+    layers), ak = p0*(eta - bk).  This replaces the round-1 sin^2
+    stand-in; npz=63 with ptop=64.247 Pa matches the GFS envelope of
+    the reference C12 config (fv_core_nml npz: 63,
+    test_regression.py:133-200).  FV3's bit-exact tabulated ak/bk are
+    not in the reference tree (fv_eta.F90 lives in the empty
+    fortran submodule); pass ``table=(ak, bk)`` — e.g. read from a
+    Fortran ``fv_core.res.nc`` restart via io.netcdf3 — to use exact
+    values.
     """
-    k = np.linspace(0.0, 1.0, nz + 1)
-    # squared-sine transition: bk=0 at top, 1 at surface
-    bk = np.sin(0.5 * np.pi * k) ** 2
-    ak = ptop * (1.0 - k) + 0.0 * k
+    if table is not None:
+        ak, bk = table
+        ak = np.asarray(ak, np.float64)
+        bk = np.asarray(bk, np.float64)
+        if ak.shape != (nz + 1,) or bk.shape != (nz + 1,):
+            raise ValueError(
+                f"ak/bk table must have {nz + 1} interfaces, got "
+                f"{ak.shape}/{bk.shape}"
+            )
+        return jnp.asarray(ak), jnp.asarray(bk)
+    p0 = REFERENCE_SURFACE_PRESSURE
+    eta_top = ptop / p0
+    s = np.linspace(0.0, 1.0, nz + 1)
+    eta = eta_top + (1.0 - eta_top) * s ** stretch
+    bk = np.where(
+        eta > transition_eta,
+        ((eta - transition_eta) / (1.0 - transition_eta)) ** exponent,
+        0.0,
+    )
+    bk[-1] = 1.0
+    ak = p0 * (eta - bk)
+    ak[-1] = 0.0
+    # interfaces must stay monotone down to mountain-top surface
+    # pressures (exponent > 1 transitions lose this below ~p0(1-1/c'))
+    for ps in (45000.0, 101300.0):
+        if not (np.diff(ak + bk * ps) > 0).all():
+            raise ValueError(
+                "non-monotone hybrid coordinate for ps="
+                f"{ps}; lower `exponent` or `transition_eta`"
+            )
     return jnp.asarray(ak), jnp.asarray(bk)
 
 
@@ -122,10 +181,39 @@ def _vertex_cells(phi, h, n):
 
 def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
                 hord: int, d2_damp: float, phis,
-                mfx_acc, mfy_acc, cx_acc, cy_acc):
+                mfx_acc, mfy_acc, cx_acc, cy_acc,
+                midpoint: bool = True):
     """One acoustic-style substep on the Lagrangian layers.
 
-    Hydrostatic when state.w is None; otherwise nonhydrostatic: w is
+    midpoint=True: two-stage time-centered substep -- a provisional
+    half-step with 1st-order upwind reconstruction supplies
+    time-centered winds/fluxes for the full update (the role of FV3's
+    C-grid half-step ``c_sw``); the plain forward-backward form is
+    weakly unstable for rotational modes (see sw.shallow_water_step).
+
+    Returns (new_state_without_tracers, accumulated fluxes).
+    """
+    if midpoint:
+        # nondimensional damping applied once per substep (stage 2)
+        half, _ = _substep_core(state, state, m, 0.5 * dt, ptop, 1,
+                                0.0, phis)
+        new, (fx, fy, crx, cry) = _substep_core(
+            half, state, m, dt, ptop, hord, d2_damp, phis
+        )
+    else:
+        new, (fx, fy, crx, cry) = _substep_core(
+            state, state, m, dt, ptop, hord, d2_damp, phis
+        )
+    return new, (mfx_acc + fx, mfy_acc + fy, cx_acc + crx, cy_acc + cry)
+
+
+def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
+                  dt: float, ptop: float, hord: int, d2_damp: float,
+                  phis):
+    """Flux-form update of `base` with fluxes/gradients evaluated on
+    `ev` (midpoint stage form; ev is base for forward-backward).
+
+    Hydrostatic when w is None; otherwise nonhydrostatic: w is
     transported mass-weighted and delz volume-weighted alongside the
     other prognostics, the semi-implicit Riemann solver (riemann.py)
     advances the vertical acoustics, the geopotential in the wind
@@ -133,13 +221,11 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     the perturbation-pressure gradient -(1/rho) grad_s(p') on top of
     the hydrostatic cp*theta*grad(pi) term (pointwise-exact split of
     the full PGF, no hydrostatic assumption).
-
-    Returns (new_state_without_tracers, accumulated fluxes).
     """
     h, n = m.halo, m.n
     N = n + 2 * h
-    delp, pt, u, v = state.delp, state.pt, state.u, state.v
-    nonhydro = state.w is not None
+    delp, pt, u, v = ev.delp, ev.pt, ev.u, ev.v
+    nonhydro = ev.w is not None
 
     up, vp = halo_exchange_dgrid(u, v, h)
     dpx = halo_exchange(delp, h, fill="x")
@@ -151,6 +237,7 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     uc_A, vc_A = c_grid_winds(up, vp, m)
     uc_int = uc_A[:, :, h : h + n, h : h + n + 1]
     vc_int = vc_A[:, :, h : h + n + 1, h : h + n]
+    uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
     ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
     _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
     uc = ucx_p[:, :, :, :N]
@@ -167,7 +254,9 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
         m.area_py[:, None], hord,
     )
     div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
-    delp_new = delp + div[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+    delp_new = base.delp + div[
+        :, :, h : h + n, h : h + n
+    ] * m.rarea[:, None]
 
     # potential temperature: mass-weighted transport with the delp
     # fluxes; the Lin-Rood inner update divides by the transversely
@@ -178,34 +267,45 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
         m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
     )
     divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
-    pt_new = (
-        pt * delp + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
-    ) / delp_new
+    ptdp = (
+        base.pt * base.delp
+        + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+    )
+    # conservative dissipative 2-delta filter on the mass field and the
+    # mass-weighted prognostics (sw.scalar_filter): kills the weakly
+    # growing boundary-ring mass modes; filtering the theta MASS keeps
+    # constant-theta states exact
+    delp_new = scalar_filter(delp_new, m, FILTER_COEF)
+    pt_new = scalar_filter(ptdp, m, FILTER_COEF) / delp_new
 
     if nonhydro:
         # w: mass-weighted transport (like pt); delz: volume-form
         # transport with the area fluxes (conserves total volume)
-        wx = halo_exchange(state.w, h, fill="x")
-        wy = halo_exchange(state.w, h, fill="y")
+        wx = halo_exchange(ev.w, h, fill="x")
+        wy = halo_exchange(ev.w, h, fill="y")
         fxw, fyw = fv_tp_2d(
             wx, wy, crx, cry, fx, fy,
             m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
         )
         divw = (fxw - _shx(fxw, 1)) + (fyw - _shy(fyw, 1))
-        w_adv = (
-            state.w * delp
-            + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+        w_adv = scalar_filter(
+            base.w * base.delp
+            + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None],
+            m, FILTER_COEF,
         ) / delp_new
-        dzx = halo_exchange(state.delz, h, fill="x")
-        dzy = halo_exchange(state.delz, h, fill="y")
+        dzx = halo_exchange(ev.delz, h, fill="x")
+        dzy = halo_exchange(ev.delz, h, fill="y")
         fxz, fyz = fv_tp_2d(
             dzx, dzy, crx, cry, xfx, yfx,
             m.area_px[:, None], m.area_py[:, None], hord,
         )
         divz = (fxz - _shx(fxz, 1)) + (fyz - _shy(fyz, 1))
-        dz_adv = state.delz + divz[
-            :, :, h : h + n, h : h + n
-        ] * m.rarea[:, None]
+        dz_adv = scalar_filter(
+            base.delz + divz[
+                :, :, h : h + n, h : h + n
+            ] * m.rarea[:, None],
+            m, FILTER_COEF,
+        )
 
     # vorticity fluxes (advective) for the wind update
     udx = u * m.dx_u[:, None, h : h + n + 1, h : h + n]
@@ -328,14 +428,12 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     pt_at_u = to_u(pt_p)  # [6, nz, N+1, N]
     pt_at_v = to_v(pt_p)  # [6, nz, N, N+1]
 
-    # --- divergence damping ----------------------------------------------
-    u_pad = jnp.pad(up, ((0, 0), (0, 0), (0, 0), (1, 1)))
-    v_pad = jnp.pad(vp, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    div_b = (u_pad[:, :, :, 1:] - u_pad[:, :, :, :-1]) + (
-        v_pad[:, :, 1:, :] - v_pad[:, :, :-1, :]
-    )
-    for cj, ci in ((h, h), (h, hn), (hn, h), (hn, hn)):
-        div_b = div_b.at[:, :, cj, ci].set(0.0)
+    # --- divergence + vorticity damping on the BASE winds -----------------
+    du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
+    du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
+    du_cd, dv_cd = corner_div_damp(base.u, base.v, m, CORNER_DAMP_COEF)
+    du_damp = du_damp + du_vd + du_cd
+    dv_damp = dv_damp + dv_vd + dv_cd
 
     # --- wind updates -----------------------------------------------------
     dku = ke_phi[:, :, :, 1:] - ke_phi[:, :, :, :-1]
@@ -345,14 +443,12 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
     fyo_u = jnp.pad(fyo, ((0, 0), (0, 0), (0, 1), (0, 0)))
     fxo_v = jnp.pad(fxo, ((0, 0), (0, 0), (0, 0), (0, 1)))
     u_new_p = (
-        up + fyo_u
+        fyo_u
         - (dt / m.dx_u[:, None]) * (dku + CP_AIR * pt_at_u * dpiu)
-        + d2_damp * (div_b[:, :, :, 1:] - div_b[:, :, :, :-1])
     )
     v_new_p = (
-        vp - fxo_v
+        -fxo_v
         - (dt / m.dy_v[:, None]) * (dkv + CP_AIR * pt_at_v * dpiv)
-        + d2_damp * (div_b[:, :, 1:, :] - div_b[:, :, :-1, :])
     )
 
     if nonhydro:
@@ -373,14 +469,20 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
             pp_c[:, :, 1:, :] - pp_c[:, :, :-1, :]
         )
 
-    u_new = u_new_p[:, :, h : h + n + 1, h : h + n]
-    v_new = v_new_p[:, :, h : h + n, h : h + n + 1]
+    u_new = (
+        base.u + u_new_p[:, :, h : h + n + 1, h : h + n] + du_damp
+    )
+    v_new = (
+        base.v + v_new_p[:, :, h : h + n, h : h + n + 1] + dv_damp
+    )
+    # re-impose single-valuedness of shared boundary D-edges
+    u_new, v_new = average_dgrid_boundary(u_new, v_new)
 
     new = DycoreState(
-        delp_new, pt_new, u_new, v_new, state.q,
+        delp_new, pt_new, u_new, v_new, base.q,
         w2 if nonhydro else None, dz2 if nonhydro else None,
     )
-    return new, (mfx_acc + fx, mfy_acc + fy, cx_acc + crx, cy_acc + cry)
+    return new, (fx, fy, crx, cry)
 
 
 def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
@@ -457,13 +559,23 @@ def make_dycore_stepper(
     d2_damp: float = 0.12,
     ptop: float = 300.0,
     dtype=jnp.float32,
+    remat: bool = False,
+    metric_cwinds: bool = True,
+    metric_ke: bool = True,
+    corner_damp: bool = True,
 ):
     """Build a jitted full dycore step (dynamics + vertical remap).
 
     Mirrors the reference namelist structure (k_split outer loops each
     ending in a remap, n_split substeps inside).
+
+    remat: checkpoint each acoustic substep (jax.checkpoint), trading
+    recompute for peak HBM — required to fit C384 x 63 on one chip.
     """
-    m = SWMetrics.make(g, dtype)
+    m = SWMetrics.make(
+        g, dtype, metric_cwinds=metric_cwinds, metric_ke=metric_ke,
+        corner_damp=corner_damp,
+    )
     ak, bk = hybrid_coefficients(nz, ptop)
     ak = ak.astype(dtype)
     bk = bk.astype(dtype)
@@ -482,6 +594,9 @@ def make_dycore_stepper(
                     s, m, dt_sub, ptop, hord, d2_damp, phis, *a
                 )
                 return (s2, a2), None
+
+            if remat:
+                inner = jax.checkpoint(inner)
 
             (st2, acc), _ = jax.lax.scan(
                 inner, (st, acc), None, length=n_split

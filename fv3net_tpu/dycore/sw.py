@@ -13,21 +13,32 @@ Discrete layout (face-local, [6, ..., j, i]):
     u     [6, n+1, n]    covariant x-wind on x-directed edges (D grid)
     v     [6, n, n+1]    covariant y-wind on y-directed edges
 
-Metric treatment: interior C-face winds use the covariant/orthogonal
-pairing (empirically the best-balanced discrete combination at these
-resolutions); tile-boundary faces -- where the regular stencil straddles
-the inter-face coordinate kink and mis-estimates the normal wind by up
-to ~40% near cube corners -- use a chart-free reconstruction from each
-adjacent cell's own edge values and tangents, collapsed into 4 static
-weights per boundary face (the role of FV3's d2a2c edge_vect handling).
-The full cosa/sina interior metric fields are computed and retained for
-the planned FV3-exact corner work.
+Metric treatment (round 2): interior C-face winds use the full
+covariant->contravariant conversion (FV3's cosa/sina metric; the
+round-1 "orthogonal approximation" mis-estimated interior normal winds
+by up to cosa*|V| ~ 9 m/s on a 30 m/s jet); tile-boundary faces use a
+chart-free reconstruction from each adjacent cell's own edge values and
+tangents (the role of FV3's d2a2c edge_vect handling), one-sided at
+corner-adjacent rows, with the two stored copies of every shared face
+canonicalized (halo.canonicalize_cgrid_boundary) so shared-face fluxes
+cancel exactly for arbitrary winds.
+
+Stability design (all certified by the jacfwd eigen-analysis of the
+linearized step in tests/test_sw.py -- spectral radius 1 + O(1e-14)):
+  * two-stage time-centered substep (the role of FV3's c_sw half step);
+  * shared boundary D-edges averaged to stay single-valued
+    (halo.average_dgrid_boundary, the mpp domain-symmetry role);
+  * all dissipation built as exact vjp-transposes (-c * A^T W A), hence
+    provably negative-semidefinite: metric cell-divergence damping
+    (div_damp), weak computational corner-divergence damping
+    (corner_div_damp), del-4 vorticity damping (vort_damp), and a del-4
+    conservative mass filter (scalar_filter).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -37,6 +48,8 @@ import numpy as np
 from ..constants import GRAV
 from ..grid.geometry import CubedSphereGrid
 from ..grid.halo import (
+    average_dgrid_boundary,
+    canonicalize_cgrid_boundary,
     halo_exchange,
     halo_exchange_cgrid,
     halo_exchange_dgrid,
@@ -104,9 +117,19 @@ class SWMetrics:
     xbw_e: jax.Array  # x-faces at I = h + n
     ybw_s: jax.Array  # y-faces at J = h
     ybw_n: jax.Array
+    # cell-centered metric angle (for A-grid KE)
+    cosa_c: jax.Array = None  # [6, n, n]
+    rsin2_c: jax.Array = None
+    # measured operator norm of the metric divergence damper (div_damp)
+    divdamp_scale: float = 1.0
+    # scheme switches (trace-time constants)
+    corner_damp: bool = True  # legacy, unused (damper is metric now)
+    metric_ke: bool = True  # covariant-metric KE
 
     @classmethod
-    def make(cls, g: CubedSphereGrid, dtype=jnp.float32) -> "SWMetrics":
+    def make(cls, g: CubedSphereGrid, dtype=jnp.float32,
+             metric_cwinds: bool = True, metric_ke: bool = True,
+             corner_damp: bool = True) -> "SWMetrics":
         h, n = g.halo, g.n
         N = n + 2 * h
         area_int = jnp.asarray(g.area[g.interior], dtype)
@@ -259,7 +282,7 @@ class SWMetrics:
                 np.maximum(1.0 - cosa_u[:, h : h + n, I] ** 2, 0.2)
             )[..., None]
             half_over_sina = 0.5 / sina_f
-            return np.stack(
+            w = np.stack(
                 [
                     np.sum(C1L * nrm, axis=-1),
                     np.sum(C2L * nrm, axis=-1),
@@ -268,6 +291,22 @@ class SWMetrics:
                 ],
                 axis=-1,
             ) * half_over_sina  # [6, n, 4]
+            # corner-adjacent rows: one-sided from the INTERIOR cell
+            # (the halo cell's covariant means contain corner-substituted
+            # D-wind slots -- garbage inputs)
+            interior_right = I == h  # west boundary: interior is right
+            lo, hi = (2, 4) if interior_right else (0, 2)
+            for r in (0, n - 1):
+                w[:, r, :] = 0.0
+                w[:, r, lo:hi] = (
+                    np.stack(
+                        [np.sum((C1R if interior_right else C1L)[:, r]
+                                * nrm[:, r], -1),
+                         np.sum((C2R if interior_right else C2L)[:, r]
+                                * nrm[:, r], -1)], -1,
+                    ) / sina_f[:, r]
+                )
+            return w
 
         def yface_weights(J):
             cols = slice(h, h + n)
@@ -284,7 +323,7 @@ class SWMetrics:
                 np.maximum(1.0 - cosa_v[:, J, h : h + n] ** 2, 0.2)
             )[..., None]
             half_over_sina = 0.5 / sina_f
-            return np.stack(
+            w = np.stack(
                 [
                     np.sum(C1L * nrm, axis=-1),
                     np.sum(C2L * nrm, axis=-1),
@@ -293,34 +332,64 @@ class SWMetrics:
                 ],
                 axis=-1,
             ) * half_over_sina
+            interior_right = J == h  # south boundary: interior is north
+            lo, hi = (2, 4) if interior_right else (0, 2)
+            for r in (0, n - 1):
+                w[:, r, :] = 0.0
+                w[:, r, lo:hi] = (
+                    np.stack(
+                        [np.sum((C1R if interior_right else C1L)[:, r]
+                                * nrm[:, r], -1),
+                         np.sum((C2R if interior_right else C2L)[:, r]
+                                * nrm[:, r], -1)], -1,
+                    ) / sina_f[:, r]
+                )
+            return w
 
         xbw_w = xface_weights(h)
         xbw_e = xface_weights(h + n)
         ybw_s = yface_weights(h)
         ybw_n = yface_weights(h + n)
-        # bake the face sina into the weights so the boundary values are
-        # effective normal winds whose flux with the plain edge length is
-        # exact (flux = V.n * dy regardless of the sina estimate)
+        # boundary weights yield CONTRAVARIANT normal winds (V.n / sina,
+        # the half_over_sina factor above), consistent with the interior
+        # metric conversion; fluxes then use the dy*sina effective width
+        # everywhere.  (Round 1 zeroed the interior cosa/sina metric --
+        # the "orthogonal approximation" -- which mis-estimates interior
+        # C-winds by up to cosa*|V| ~ 9 m/s on a 30 m/s jet and drove
+        # the cube-corner mass pumping that xfailed the JW06 test.)
         sina_u_np = np.sqrt(np.maximum(1.0 - cosa_u ** 2, 0.2))
         sina_v_np = np.sqrt(np.maximum(1.0 - cosa_v ** 2, 0.2))
-        xbw_w = xbw_w * sina_u_np[:, h : h + n, h][..., None]
-        xbw_e = xbw_e * sina_u_np[:, h : h + n, h + n][..., None]
-        ybw_s = ybw_s * sina_v_np[:, h, h : h + n][..., None]
-        ybw_n = ybw_n * sina_v_np[:, h + n, h : h + n][..., None]
-        # empirically-selected default: orthogonal treatment of interior
-        # faces (the covariant/orthogonal pairing is the best-balanced
-        # discrete combination for geostrophic flows at these
-        # resolutions; the full cosa/sina interior pathway is retained in
-        # the fields below for the planned FV3-exact corner work)
-        cosa_u = cosa_u * 0.0
-        rsin2_u = rsin2_u * 0.0 + 1.0
-        cosa_v = cosa_v * 0.0
-        rsin2_v = rsin2_v * 0.0 + 1.0
-        cosa_b = cosa_b * 0.0
-        rsin2_b = rsin2_b * 0.0 + 1.0
+        if not metric_cwinds:
+            # legacy round-1 orthogonal approximation (kept for A/B
+            # comparison): zero the metric, unit flux widths, boundary
+            # weights baked with sina so fluxes stay exact
+            xbw_w = xbw_w * sina_u_np[:, h : h + n, h][..., None]
+            xbw_e = xbw_e * sina_u_np[:, h : h + n, h + n][..., None]
+            ybw_s = ybw_s * sina_v_np[:, h, h : h + n][..., None]
+            ybw_n = ybw_n * sina_v_np[:, h + n, h : h + n][..., None]
+            cosa_u = cosa_u * 0.0
+            rsin2_u = rsin2_u * 0.0 + 1.0
+            cosa_v = cosa_v * 0.0
+            rsin2_v = rsin2_v * 0.0 + 1.0
+            sina_u_np = np.ones_like(sina_u_np)
+            sina_v_np = np.ones_like(sina_v_np)
+        if not metric_ke:
+            cosa_b = cosa_b * 0.0
+            rsin2_b = rsin2_b * 0.0 + 1.0
+
+        # cell-centered coordinate angle for the A-grid KE
+        e1_c = unit(cen[:, :, 2:, :] - cen[:, :, :-2, :])
+        e2_c = unit(cen[:, 2:, :, :] - cen[:, :-2, :, :])
+        cosa_cell = np.sum(
+            e1_c[:, 1:-1, :, :] * e2_c[:, :, 1:-1, :], axis=-1
+        )[:, h - 1 : h - 1 + n, h - 1 : h - 1 + n]
+        cosa_cell, rsin2_cell = clean_angle(cosa_cell)
+        if not metric_ke:
+            cosa_cell = cosa_cell * 0.0
+            rsin2_cell = rsin2_cell * 0.0 + 1.0
 
         fc = jnp.asarray(g.f_center[g.interior], dtype)
-        return cls(
+        self = cls(
             n=n,
             halo=h,
             area_px=area_px,
@@ -344,15 +413,256 @@ class SWMetrics:
             rsin2_v=jnp.asarray(rsin2_v, dtype),
             cosa_b=jnp.asarray(cosa_b, dtype),
             rsin2_b=jnp.asarray(rsin2_b, dtype),
-            dy_fs=face_embed_x(dyf_p),
-            dx_fs=face_embed_y(dxf_p),
-            sina_u=jnp.asarray(np.ones_like(cosa_u), dtype),
-            sina_v=jnp.asarray(np.ones_like(cosa_v), dtype),
+            dy_fs=face_embed_x(dyf_p) * jnp.asarray(sina_u_np, dtype),
+            dx_fs=face_embed_y(dxf_p) * jnp.asarray(sina_v_np, dtype),
+            sina_u=jnp.asarray(sina_u_np, dtype),
+            sina_v=jnp.asarray(sina_v_np, dtype),
             xbw_w=jnp.asarray(xbw_w, dtype),
             xbw_e=jnp.asarray(xbw_e, dtype),
             ybw_s=jnp.asarray(ybw_s, dtype),
             ybw_n=jnp.asarray(ybw_n, dtype),
+            cosa_c=jnp.asarray(cosa_cell, dtype),
+            rsin2_c=jnp.asarray(rsin2_cell, dtype),
+            corner_damp=corner_damp,
+            metric_ke=metric_ke,
         )
+        # --- divergence-damper normalization --------------------------
+        # power iteration for the largest eigenvalue of the symmetric
+        # PSD operator T = M^T(A M .), M = linear_mass_div; div_damp
+        # scales T by 8/lambda_max so d2 keeps the familiar
+        # forward-Euler limit of 1/4 for a nondimensional Laplacian.
+        area_j = jnp.asarray(1.0 / np.asarray(self.rarea), dtype)
+
+        def T(uu, vv):
+            div, vjp_fn = jax.vjp(
+                lambda a, b: linear_mass_div(a, b, self), uu, vv
+            )
+            return vjp_fn(div * area_j)
+
+        rng = np.random.RandomState(0)
+        uu = jnp.asarray(rng.randn(6, n + 1, n), dtype)
+        vv = jnp.asarray(rng.randn(6, n, n + 1), dtype)
+        lam = 1.0
+        for _ in range(30):
+            uu, vv = T(uu, vv)
+            lam = float(
+                jnp.sqrt(jnp.sum(uu ** 2) + jnp.sum(vv ** 2))
+            )
+            uu, vv = uu / lam, vv / lam
+        if not np.isfinite(lam) or lam <= 0:
+            raise RuntimeError("divergence-damper normalization failed")
+        return dataclasses.replace(self, divdamp_scale=8.0 / lam)
+
+
+FILTER_COEF = 0.02
+VORT_DAMP_COEF = 0.02
+
+
+def linear_mass_div(u, v, m):
+    """The linear map winds -> unit-depth mass divergence per cell.
+
+    Exactly the linearization (at rest) of the PPM mass transport:
+    C-grid contravariant winds via c_grid_winds + boundary
+    canonicalization + exchange, physical flux widths dy*sina, area
+    divergence.  Used both directly and -- transposed via jax.vjp --
+    as the pressure-gradient operator (see pgf_grad).
+    """
+    h, n = m.halo, m.n
+    N = n + 2 * h
+    lead = u.ndim - 3  # level axes between face and spatial dims
+
+    def bc(a):
+        return a.reshape(a.shape[:1] + (1,) * lead + a.shape[1:])
+
+    up, vp = halo_exchange_dgrid(u, v, h)
+    uc_A, vc_A = c_grid_winds(up, vp, m)
+    uc_int = uc_A[..., h : h + n, h : h + n + 1]
+    vc_int = vc_A[..., h : h + n + 1, h : h + n]
+    uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
+    ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
+    _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
+    uc = ucx_p[..., :, :N]
+    vc = vcy_p[..., :N, :]
+    fx = uc * bc(m.dy_fs)
+    fy = vc * bc(m.dx_fs)
+    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
+    return div[..., h : h + n, h : h + n] * bc(m.rarea)
+
+
+def _cell_grad_op(q, m):
+    """Simple cell->face difference operator (annihilates constants):
+    returns (sx [6,...,n,n+1], sy [6,...,n+1,n]) interior+boundary face
+    differences from fill-corner halo exchanges."""
+    h, n = m.halo, m.n
+    qx = halo_exchange(q, h, fill="x")
+    qy = halo_exchange(q, h, fill="y")
+    sx = (
+        qx[..., h : h + n, h : h + n + 1]
+        - qx[..., h : h + n, h - 1 : h + n]
+    )
+    sy = (
+        qy[..., h : h + n + 1, h : h + n]
+        - qy[..., h - 1 : h + n, h : h + n]
+    )
+    return sx, sy
+
+
+def scalar_filter(q, m, c):
+    """Conservative, provably dissipative del-2 filter on a cell scalar:
+    q - c * (1/area) G^T(G q), G the cell->face difference (jax.vjp
+    transpose, so the operator is symmetric negative-semidefinite in
+    the area-weighted norm; G(const)=0 makes it exactly conservative).
+
+    Role: FV3 relies on its energy-consistent corner machinery plus
+    nord>0 damping to keep cube-corner mass modes neutral; this
+    framework's linearized step retains a weak (~0.6%/substep) growing
+    boundary-ring mass mode (measured by the jacfwd eigen-analysis in
+    tests/test_sw.py).  A tiny background 2-delta filter (c ~ 0.02 =
+    16%/substep damping of the sawtooth, O(c k^2 dx^2) on smooth
+    fields) stabilizes it with negligible smoothing of resolved flow.
+    """
+    if c == 0.0:
+        return q
+    h, n = m.halo, m.n
+    # face weights = mean adjacent cell area, making (1/area) G^T(w G)
+    # nondimensional with Laplacian-like eigenvalues <= ~8
+    wfx = 0.5 * (
+        m.area_px[:, h : h + n, h - 1 : h + n]
+        + m.area_px[:, h : h + n, h : h + n + 1]
+    )
+    wfy = 0.5 * (
+        m.area_py[:, h - 1 : h + n, h : h + n]
+        + m.area_py[:, h : h + n + 1, h : h + n]
+    )
+    lead = q.ndim - 3  # level axes between face and spatial dims
+
+    def bc(a):
+        return a.reshape(a.shape[:1] + (1,) * lead + a.shape[1:])
+
+    def L(qq):
+        (sx, sy), vjp = jax.vjp(lambda x: _cell_grad_op(x, m), qq)
+        (dq,) = vjp((sx * bc(wfx), sy * bc(wfy)))
+        return dq * bc(m.rarea)
+
+    # del-4 (L^2/8): 2-delta damped at ~8c, resolved scales (k dx)^2
+    # weaker than the del-2 form; conservative and dissipative for any
+    # composition of the self-adjoint PSD L
+    return q - (c / 8.0) * L(L(q))
+
+
+def vort_damp(u, v, m, cv):
+    """Vorticity-damping wind increments: -cv * V^T(V u), V the
+    nondimensional cell circulation (plain edge differences, face-local,
+    no halo).  Symmetric negative-semidefinite by vjp construction.
+    Role of FV3's do_vort_damp/Smagorinsky family: the Coriolis term
+    enters through the vorticity flux, whose staggered metric averaging
+    is not discretely skew at face boundaries -- jacfwd eigenanalysis
+    shows boundary-ring wind-sawtooth modes pumped at ~f*dt*cosa
+    (~0.4%%/substep); a weak curl damper (8*cv per 2-delta mode)
+    removes them while leaving resolved rotational flow O(cv k^2 dx^2).
+    """
+    if cv == 0.0:
+        return jnp.zeros_like(u), jnp.zeros_like(v)
+
+    def Vop(uu, vv):
+        return (
+            uu[..., :-1, :] - uu[..., 1:, :]
+            + vv[..., :, 1:] - vv[..., :, :-1]
+        )
+
+    # del-4 form (V^T V)^2 / 8: same 2-delta strength as del-2 with
+    # coefficient cv (8*cv per substep) but ~(k dx)^2 weaker on
+    # resolved scales -- the del-2 form decayed a 10-cell jet at
+    # ~0.3/day, destroying the JW06 baseline
+    z, vjp = jax.vjp(Vop, u, v)
+    du1, dv1 = vjp(z)
+    z2, vjp2 = jax.vjp(Vop, du1, dv1)
+    du, dv = vjp2(z2)
+    return -(cv / 8.0) * du, -(cv / 8.0) * dv
+
+
+CORNER_DAMP_COEF = 0.02
+
+
+@lru_cache(maxsize=None)
+def _corner_multiplicity(n: int):
+    """How many faces compute each physical corner point of one face's
+    own (n+1, n+1) corner lattice: 1 interior, 2 on shared edges, 3 at
+    cube vertices."""
+    w = np.ones((n + 1, n + 1))
+    w[0, :] = w[-1, :] = 2.0
+    w[:, 0] = w[:, -1] = 2.0
+    w[0, 0] = w[0, -1] = w[-1, 0] = w[-1, -1] = 3.0
+    return w
+
+
+def _div_b_op(u, v, m):
+    """B-grid (corner-lattice) computational divergence: plain
+    covariant-difference 4-term form on the padded D winds, cropped to
+    this face's own corners [6, ..., n+1, n+1].  At cube-corner
+    vertices the D-halo tables resolve the beyond-corner slots to the
+    real third edge; the result matches an analytic potential flow to
+    ~1%."""
+    h, n = m.halo, m.n
+    up, vp = halo_exchange_dgrid(u, v, h)
+    lead = [(0, 0)] * (up.ndim - 2)
+    u_pad = jnp.pad(up, lead + [(0, 0), (1, 1)])
+    v_pad = jnp.pad(vp, lead + [(1, 1), (0, 0)])
+    div_b = (u_pad[..., :, 1:] - u_pad[..., :, :-1]) + (
+        v_pad[..., 1:, :] - v_pad[..., :-1, :]
+    )
+    return div_b[..., h : h + n + 1, h : h + n + 1]
+
+
+def corner_div_damp(u, v, m, c):
+    """Weak corner-lattice divergence damper: -c * D^T(W D u), D the
+    computational (covariant-difference) corner divergence, W =
+    1/multiplicity.  Symmetric negative-semidefinite by vjp
+    construction.
+
+    Complements div_damp: the metric cell-divergence damper is blind to
+    modes in the null space of the D->C interpolation (the jacfwd
+    eigen-analysis shows a residual 3e-4/substep boundary mode with it
+    alone), while this computational form covers the full wind space.
+    Because covariant components jump identity across the inter-face
+    kink, D sees an O(cosa*V) spurious signal on smooth flows at the
+    boundary ring, so c is kept small (the smooth-flow kick scales as
+    ~0.7 m/s per step per 0.01 of c at C24, one-step JW06 balance
+    diagnostic); the heavy lifting is done by the metric damper.
+    """
+    if c == 0.0:
+        return jnp.zeros_like(u), jnp.zeros_like(v)
+    inv_mult = jnp.asarray(1.0 / _corner_multiplicity(m.n), u.dtype)
+    div, vjp = jax.vjp(lambda uu, vv: _div_b_op(uu, vv, m), u, v)
+    du, dv = vjp(div * inv_mult)
+    return -c * du, -c * dv
+
+
+def div_damp(u, v, m, d2):
+    """Divergence-damping wind increments: -d2*(8/lam) * M^T(A M u),
+    M = linear_mass_div (the TRUE metric cell divergence), A = area,
+    lam the measured largest eigenvalue (SWMetrics.divdamp_scale).
+
+    Symmetric negative-semidefinite by vjp construction -- provably
+    dissipative for any cube topology/halo sign convention -- and,
+    because M is a metric divergence, it vanishes on smooth
+    non-divergent flow INCLUDING across face boundaries.  (Round 1
+    damped the nondimensional covariant-difference corner divergence;
+    the covariant components jump identity across the inter-face kink,
+    so a smooth balanced jet saw an O(cosa*V) spurious divergence at
+    the boundary ring and received an 8 m/s/step spurious kick --
+    measured by the one-step JW06 balance diagnostic.)
+    """
+    if d2 == 0.0:
+        return jnp.zeros_like(u), jnp.zeros_like(v)
+    lead = u.ndim - 3
+    area = (1.0 / m.rarea).reshape(
+        (6,) + (1,) * lead + m.rarea.shape[1:]
+    )
+    div, vjp = jax.vjp(lambda uu, vv: linear_mass_div(uu, vv, m), u, v)
+    du, dv = vjp(div * area)
+    c = d2 * m.divdamp_scale
+    return -c * du, -c * dv
 
 
 def c_grid_winds(up, vp, m):
@@ -420,14 +730,44 @@ def shallow_water_step(
     hord: int = 5,
     d2_damp: float = 0.12,
     hs=None,
+    midpoint: bool = True,
 ):
-    """One forward-backward SW step.  Returns the new state.
+    """One SW step.  Returns the new state.
+
+    midpoint=True (default): two-stage time-centered step -- a cheap
+    provisional half-step (1st-order upwind reconstruction) supplies
+    time-centered winds/fluxes for the full step, the role of FV3's
+    C-grid half-step (``c_sw``).  The plain forward-backward scheme is
+    weakly unstable for the rotational modes (linearized growth
+    ~1.0006-1.0036 per substep, measured by the jacfwd eigen-analysis in
+    tests/test_sw.py); time-centering makes it neutral to O(dt^4).
 
     hs: optional terrain height [6, n, n] (adds to the geopotential).
     """
+    if midpoint:
+        # damping is nondimensional (not dt-scaled): apply it once per
+        # substep (stage 2, on base winds), not once per stage --
+        # staging it compounds (I - d2 L)^2-like terms that break the
+        # forward-Euler stability bound
+        half = _sw_core(state, state, m, 0.5 * dt, 1, 0.0, hs)
+        return _sw_core(half, state, m, dt, hord, d2_damp, hs)
+    return _sw_core(state, state, m, dt, hord, d2_damp, hs)
+
+
+def _sw_core(
+    ev: ShallowWaterState,
+    base: ShallowWaterState,
+    m: SWMetrics,
+    dt: float,
+    hord: int,
+    d2_damp: float,
+    hs=None,
+):
+    """Flux-form update of `base` with all fluxes/gradients evaluated on
+    `ev` (midpoint stage form; ev is base for forward-backward)."""
     h, n = m.halo, m.n
     N = n + 2 * h
-    delp, u, v = state
+    delp, u, v = ev
 
     # --- halo exchanges ---------------------------------------------------
     up, vp = halo_exchange_dgrid(u, v, h)  # [6,N+1,N], [6,N,N+1]
@@ -444,6 +784,7 @@ def shallow_water_step(
     uc_A, vc_A = c_grid_winds(up, vp, m)
     uc_int = uc_A[:, h : h + n, h : h + n + 1]  # own x-faces [6,n,n+1]
     vc_int = vc_A[:, h : h + n + 1, h : h + n]  # own y-faces [6,n+1,n]
+    uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
     ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
     _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
     uc = ucx_p[:, :, :N]  # face lattice embedded: entry [j, i] = face i
@@ -458,7 +799,7 @@ def shallow_water_step(
     fx, fy = fv_tp_2d(dpx, dpy, crx, cry, xfx, yfx, m.area_px, m.area_py,
                       hord)
     div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
-    delp_new = delp + div[:, h : h + n, h : h + n] * m.rarea
+    delp_new = base.delp + div[:, h : h + n, h : h + n] * m.rarea
 
     # --- absolute vorticity (cell-centered) -------------------------------
     # circulation around each interior cell uses only the face's own
@@ -530,15 +871,12 @@ def shallow_water_step(
         phi_c = phi_c.at[:, cj, ci].set(vals)
     kphi = ke_c + phi_c
 
-    # --- divergence damping (nondimensional corner-divergence smoother) --
-    u_pad = jnp.pad(up, ((0, 0), (0, 0), (1, 1)))
-    v_pad = jnp.pad(vp, ((0, 0), (1, 1), (0, 0)))
-    div_b = (u_pad[:, :, 1:] - u_pad[:, :, :-1]) + (
-        v_pad[:, 1:, :] - v_pad[:, :-1, :]
-    )  # [6, N+1, N+1]
-    # vertices: zero the damping stencil (no consistent 4-point form)
-    for cj, ci in ((h, h), (h, hn), (hn, h), (hn, hn)):
-        div_b = div_b.at[:, cj, ci].set(0.0)
+    # --- divergence + vorticity damping on the BASE winds -----------------
+    du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
+    du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
+    du_cd, dv_cd = corner_div_damp(base.u, base.v, m, CORNER_DAMP_COEF)
+    du_damp = du_damp + du_vd + du_cd
+    dv_damp = dv_damp + dv_vd + dv_cd
 
     # --- wind updates -----------------------------------------------------
     du_grad = -(dt / m.dx_u) * (kphi[:, :, 1:] - kphi[:, :, :-1])
@@ -547,24 +885,25 @@ def shallow_water_step(
     # fxo on x-faces == v positions
     fyo_u = jnp.pad(fyo, ((0, 0), (0, 1), (0, 0)))
     fxo_v = jnp.pad(fxo, ((0, 0), (0, 0), (0, 1)))
-    u_new_p = (
-        up + fyo_u + du_grad
-        + d2_damp * (div_b[:, :, 1:] - div_b[:, :, :-1])
-    )
-    v_new_p = (
-        vp - fxo_v + dv_grad
-        + d2_damp * (div_b[:, 1:, :] - div_b[:, :-1, :])
-    )
+    du_p = fyo_u + du_grad
+    dv_p = -fxo_v + dv_grad
 
-    u_new = u_new_p[:, h : h + n + 1, h : h + n]
-    v_new = v_new_p[:, h : h + n, h : h + n + 1]
+    u_new = base.u + du_p[:, h : h + n + 1, h : h + n] + du_damp
+    v_new = base.v + dv_p[:, h : h + n, h : h + n + 1] + dv_damp
+    # shared boundary D-edges are stored once per adjacent face; their
+    # independent updates drift at the coordinate kink -- re-impose
+    # single-valuedness (mpp domain-symmetry role)
+    u_new, v_new = average_dgrid_boundary(u_new, v_new)
+    # conservative dissipative 2-delta filter on the mass field: kills
+    # the weakly growing boundary-ring mass modes (see scalar_filter)
+    delp_new = scalar_filter(delp_new, m, FILTER_COEF)
     return ShallowWaterState(delp_new, u_new, v_new)
 
 
 def make_sw_stepper(g: CubedSphereGrid, dt: float, hord: int = 5,
-                    d2_damp: float = 0.12, dtype=jnp.float32):
+                    d2_damp: float = 0.12, dtype=jnp.float32, **scheme):
     """Build a jitted multi-substep SW stepper."""
-    m = SWMetrics.make(g, dtype)
+    m = SWMetrics.make(g, dtype, **scheme)
 
     @partial(jax.jit, static_argnames=("nsteps",))
     def run(state: ShallowWaterState, nsteps: int):

@@ -166,6 +166,9 @@ class ConvolutionalModel(Predictor):
             "n_out": self.module.n_out,
             "n_halo": self.n_halo,
             "n_in": _num_channels(self.widths_in),
+            # v2: width 0 marks a 2D [6, y, x] field (v1 used width 1,
+            # which collides with a z=1 3D field)
+            "format_version": 2,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -174,6 +177,17 @@ class ConvolutionalModel(Predictor):
     def load(cls, path: str) -> "ConvolutionalModel":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        if meta.get("format_version", 1) < 2:
+            # v1 checkpoints marked 2D fields with width 1; translate so
+            # predict() returns ("tile","y","x") for them as before
+            meta["widths_in"] = {
+                k: 0 if w == 1 else w
+                for k, w in meta["widths_in"].items()
+            }
+            meta["widths_out"] = {
+                k: 0 if w == 1 else w
+                for k, w in meta["widths_out"].items()
+            }
         module = _CNN(meta["filters"], meta["depth"], meta["kernel"],
                       meta["n_out"])
         k = meta["kernel"] + 2 * meta["n_halo"]

@@ -415,6 +415,232 @@ def _staggered_strip_exchange(a, b, tables, h, rows_a, cols_a, rows_b,
     return jnp.moveaxis(ao, -3, 0), jnp.moveaxis(bo, -3, 0)
 
 
+@lru_cache(maxsize=None)
+def _cgrid_boundary_canon_tables(n: int):
+    """Canonicalization tables for the two stored copies of shared
+    boundary C-faces.
+
+    Each face stores its own value for every one of its boundary faces
+    (uc columns 0 and n, vc rows 0 and n), so every physical
+    tile-boundary face has TWO stored copies.  When the two owners
+    compute different values (the reconstructions see different halo
+    inputs at corner-adjacent cells), shared-face mass fluxes no longer
+    cancel and global conservation breaks for non-symmetric flows.
+    These tables let the higher-indexed face adopt the lower-indexed
+    face's copy (sign-rotated into its own frame): for every boundary
+    slot of every face, (neighbor_pool_index, coefficient,
+    replace_mask).  The FMS-equivalent convention is mpp's domain
+    symmetry on staggered fields.
+    """
+    from .topology import (
+        _edge_map_affine,
+        link,
+        EDGE_W,
+        EDGE_E,
+        EDGE_S,
+        EDGE_N,
+    )
+
+    nu = n * (n + 1)
+
+    def uc_flat(g, j, i_face):
+        return (g * n + j) * (n + 1) + i_face
+
+    def vc_flat(g, j_face, i):
+        return 6 * nu + (g * (n + 1) + j_face) * n + i
+
+    def neighbor_copy(f, edge, cells):
+        """(pool_flat, coef) of the neighbor's stored copy for the
+        boundary face between `cells` = ((j1,i1),(j2,i2)) of face f."""
+        l = link(f, edge)
+        A, b = _edge_map_affine(l, n)
+        M = _rot_matrix(l.rot)
+        g = l.nbr_face
+        (j1, i1), (j2, i2) = [A @ np.array(c) + b for c in cells]
+        if j1 == j2 and abs(i1 - i2) == 1:
+            return uc_flat(g, int(j1), int(max(i1, i2))), M[0, 0], M[1, 0]
+        if i1 == i2 and abs(j1 - j2) == 1:
+            return vc_flat(g, int(max(j1, j2)), int(i1)), M[0, 1], M[1, 1]
+        raise RuntimeError("boundary pair did not map to a stored face")
+
+    # output tables over the stored arrays' own shapes
+    uc_idx = np.zeros((6, n, n + 1), np.int64)
+    uc_coef = np.zeros((6, n, n + 1))
+    uc_rep = np.zeros((6, n, n + 1), bool)
+    vc_idx = np.zeros((6, n + 1, n), np.int64)
+    vc_coef = np.zeros((6, n + 1, n))
+    vc_rep = np.zeros((6, n + 1, n), bool)
+    for f in range(6):
+        for edge, col in ((EDGE_W, 0), (EDGE_E, n)):
+            l = link(f, edge)
+            if l.nbr_face >= f:
+                continue
+            for j in range(n):
+                cells = ((j, col - 1), (j, col))
+                fl, cx, _ = neighbor_copy(f, edge, cells)
+                uc_idx[f, j, col] = fl
+                uc_coef[f, j, col] = cx
+                uc_rep[f, j, col] = True
+        for edge, row in ((EDGE_S, 0), (EDGE_N, n)):
+            l = link(f, edge)
+            if l.nbr_face >= f:
+                continue
+            for i in range(n):
+                cells = ((row - 1, i), (row, i))
+                fl, _, cy = neighbor_copy(f, edge, cells)
+                vc_idx[f, row, i] = fl
+                vc_coef[f, row, i] = cy
+                vc_rep[f, row, i] = True
+    return (
+        uc_idx.astype(np.int32), uc_coef, uc_rep,
+        vc_idx.astype(np.int32), vc_coef, vc_rep,
+    )
+
+
+@lru_cache(maxsize=None)
+def _dgrid_boundary_pair_tables(n: int):
+    """For every boundary D-edge of every face, the (pool_flat, sign)
+    of the OTHER face's stored copy of the same physical edge.
+
+    The D-grid state [6, n+1, n]/[6, n, n+1] stores each shared
+    boundary edge TWICE (once per adjacent face); the two copies are
+    updated independently by each face's stencils and drift apart at
+    the inter-face coordinate kink.  These tables support averaging
+    the copies (mpp domain-symmetry role).  Cube-corner-touching edges
+    are included; entries with pair_mask False have no partner (none,
+    for the closed cube).
+    """
+    from .geometry import gnomonic_grid
+
+    base = gnomonic_grid(n)  # [6, n+1, n+1, 3]
+    nu = (n + 1) * n
+
+    table: dict = {}
+
+    def key_of(A, B):
+        ka, kb = tuple(_quantize(A)), tuple(_quantize(B))
+        return ((ka, kb) if ka <= kb else (kb, ka)), ka
+
+    def store(kind, g, a, b, A, B):
+        key, ka = key_of(A, B)
+        flat = (
+            (g * (n + 1) + a) * n + b
+            if kind == "u"
+            else 6 * nu + (g * n + a) * (n + 1) + b
+        )
+        table.setdefault(key, []).append((flat, ka))
+
+    for g in range(6):
+        for J in (0, n):
+            for i in range(n):
+                store("u", g, J, i, base[g, J, i], base[g, J, i + 1])
+        for j in range(n):
+            for I in (0, n):
+                store("v", g, j, I, base[g, j, I], base[g, j + 1, I])
+
+    u_idx = np.zeros((6, n + 1, n), np.int64)
+    u_sign = np.zeros((6, n + 1, n))
+    u_mask = np.zeros((6, n + 1, n), bool)
+    v_idx = np.zeros((6, n, n + 1), np.int64)
+    v_sign = np.zeros((6, n, n + 1))
+    v_mask = np.zeros((6, n, n + 1), bool)
+
+    def fill(kind, g, a, b, A, B):
+        key, ka = key_of(A, B)
+        entries = table.get(key, [])
+        flat_self = (
+            (g * (n + 1) + a) * n + b
+            if kind == "u"
+            else 6 * nu + (g * n + a) * (n + 1) + b
+        )
+        others = [e for e in entries if e[0] != flat_self]
+        if not others:
+            return
+        flat, stored_from = others[0]
+        sgn = 1.0 if stored_from == ka else -1.0
+        if kind == "u":
+            u_idx[g, a, b] = flat
+            u_sign[g, a, b] = sgn
+            u_mask[g, a, b] = True
+        else:
+            v_idx[g, a, b] = flat
+            v_sign[g, a, b] = sgn
+            v_mask[g, a, b] = True
+
+    for g in range(6):
+        for J in (0, n):
+            for i in range(n):
+                fill("u", g, J, i, base[g, J, i], base[g, J, i + 1])
+        for j in range(n):
+            for I in (0, n):
+                fill("v", g, j, I, base[g, j, I], base[g, j + 1, I])
+    return (
+        u_idx.astype(np.int32), u_sign, u_mask,
+        v_idx.astype(np.int32), v_sign, v_mask,
+    )
+
+
+def average_dgrid_boundary(u, v):
+    """Replace both stored copies of every shared boundary D-edge with
+    their (sign-consistent) average.  u: [6, ..., n+1, n],
+    v: [6, ..., n, n+1]."""
+    n = u.shape[-1]
+    (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask) = (
+        _dgrid_boundary_pair_tables(n)
+    )
+    usrc = jnp.moveaxis(u, 0, -3)
+    vsrc = jnp.moveaxis(v, 0, -3)
+    pool = jnp.concatenate(
+        [
+            usrc.reshape(usrc.shape[:-3] + (-1,)),
+            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
+        ],
+        axis=-1,
+    )
+
+    def apply(src, idx, sign, mask):
+        partner = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
+            sign, src.dtype
+        )
+        avg = 0.5 * (src + partner)
+        return jnp.where(jnp.asarray(mask), avg, src)
+
+    uo = apply(usrc, u_idx, u_sign, u_mask)
+    vo = apply(vsrc, v_idx, v_sign, v_mask)
+    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
+
+
+def canonicalize_cgrid_boundary(uc, vc):
+    """Make the two stored copies of every shared boundary C-face equal:
+    the higher-indexed face adopts the lower-indexed face's value
+    (rotated into its frame).  Restores exact shared-face flux
+    cancellation (global mass conservation to roundoff) for arbitrary
+    wind fields.  uc: [6, ..., n, n+1]; vc: [6, ..., n+1, n]."""
+    n = uc.shape[-2]
+    (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep) = (
+        _cgrid_boundary_canon_tables(n)
+    )
+    usrc = jnp.moveaxis(uc, 0, -3)
+    vsrc = jnp.moveaxis(vc, 0, -3)
+    pool = jnp.concatenate(
+        [
+            usrc.reshape(usrc.shape[:-3] + (-1,)),
+            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
+        ],
+        axis=-1,
+    )
+
+    def apply(src, idx, coef, rep):
+        repl = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
+            coef, src.dtype
+        )
+        return jnp.where(jnp.asarray(rep), repl, src)
+
+    uo = apply(usrc, uc_idx, uc_coef, uc_rep)
+    vo = apply(vsrc, vc_idx, vc_coef, vc_rep)
+    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
+
+
 def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
     """Halo-exchange C-grid (face-normal) components with corner fill.
 

@@ -36,9 +36,16 @@ class DerivedMapping:
         return wrap
 
     def __getitem__(self, key: str) -> Quantity:
-        if key in self._register:
-            return self._register[key](self)
-        return self._mapper[key]
+        # state values win over registered derivations: a variable the
+        # model already owns (e.g. "surface_pressure") must not be
+        # shadowed by a recomputation (vcm.DerivedMapping likewise
+        # falls back to the dataset first)
+        try:
+            return self._mapper[key]
+        except KeyError:
+            if key in self._register:
+                return self._register[key](self)
+            raise
 
     def keys(self):
         return set(self._mapper.keys()) | set(self._register)
@@ -94,8 +101,12 @@ def _pressure_interface(dm: DerivedMapping) -> Quantity:
     from ..utils.thermo import pressure_interface
 
     delp = _delp(dm)
+    # the interface axis has nz+1 entries: give it its own dim name
+    dims = tuple(
+        "z_interface" if d == "z" else d for d in delp.dims
+    )
     return Quantity(
-        np.asarray(pressure_interface(delp.values)), delp.dims, "Pa"
+        np.asarray(pressure_interface(delp.values)), dims, "Pa"
     )
 
 

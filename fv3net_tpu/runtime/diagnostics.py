@@ -48,7 +48,12 @@ class IntervalTimes:
         else:
             ref = self.initial_time
         elapsed = (time - ref).total_seconds()
-        return elapsed % self.frequency == 0
+        # tolerant modulo: float frequencies that don't divide dt
+        # exactly must still select the nearest multiple (the reference
+        # uses exact timedelta arithmetic; a strict `% == 0` is brittle)
+        rem = elapsed % self.frequency
+        tol = 1e-6 * max(1.0, abs(elapsed))
+        return rem <= tol or (self.frequency - rem) <= tol
 
 
 def time_container(config: TimeConfig):

@@ -13,7 +13,7 @@ from typing import Callable, Dict, List, Mapping, Sequence
 
 import numpy as np
 
-from ..constants import CP_AIR, GRAV, LATENT_HEAT_VAPORIZATION
+from ..constants import CP_AIR, GRAV, LATENT_HEAT_VAPORIZATION, RDGAS
 from ..util.quantity import Quantity
 
 TRANSFORM_REGISTRY: Dict[str, "_Transform"] = {}
@@ -68,29 +68,48 @@ def q2_from_parts(state):
     "Qm_from_Q1_Q2", ["Q1", "Q2"], ["Qm"]
 )
 def qm_from_q1_q2(state):
-    """Moist static energy source from heating + moistening
-    (vcm thermo: Qm = cp*Q1 - Lv*Q2 scaled to energy units)."""
+    """Moist static energy tendency from heating + moistening:
+    Qm = (cp - Rd)*Q1 + Lv*Q2 (vcm.moist_static_energy_tendency,
+    vcm/calc/thermo/local.py:317 — cv heat capacity, positive moisture
+    term)."""
     qm = (
-        CP_AIR * state["Q1"].values
-        - LATENT_HEAT_VAPORIZATION * state["Q2"].values
+        (CP_AIR - RDGAS) * state["Q1"].values
+        + LATENT_HEAT_VAPORIZATION * state["Q2"].values
     )
     return {"Qm": _q(state["Q1"], qm, "W/kg")}
 
 
 @register_transform(
+    "Q1_from_Qm_Q2", ["Qm", "Q2"], ["Q1"]
+)
+def q1_from_qm_q2(state):
+    """Inverse of Qm_from_Q1_Q2 (vcm.temperature_tendency)."""
+    q1 = (
+        state["Qm"].values
+        - LATENT_HEAT_VAPORIZATION * state["Q2"].values
+    ) / (CP_AIR - RDGAS)
+    return {"Q1": _q(state["Q2"], q1, "K/s")}
+
+
+@register_transform(
     "implied_surface_precipitation_rate",
-    ["Q2", "delp", "physics_precip"],
+    ["Q2", "pressure_thickness_of_atmospheric_layer",
+     "latent_heat_flux"],
     ["implied_surface_precipitation_rate"],
 )
 def implied_precip(state):
-    """<-Q2> mass integral + physics precip (vcm flux-form family)."""
+    """Budget-closure precipitation: rectified E - <Q2> where E is
+    evaporation from latent heat flux (vcm/data_transform.py:281 via
+    _tendency_to_implied_surface_downward_flux, rectify=True)."""
     q2 = state["Q2"].values
-    delp = state["delp"].values
-    col = -(q2 * delp).sum(axis=-3) / GRAV  # kg/m^2/s
-    rate = col + state["physics_precip"].values
+    delp = state["pressure_thickness_of_atmospheric_layer"].values
+    lhf = state["latent_heat_flux"]
+    evap = lhf.values / LATENT_HEAT_VAPORIZATION  # kg/m^2/s
+    col = -(q2 * delp).sum(axis=-3) / GRAV  # kg/m^2/s  (-<Q2>)
+    rate = np.maximum(col + evap, 0.0)
     return {
         "implied_surface_precipitation_rate": Quantity(
-            rate, state["physics_precip"].dims, "kg/m**2/s"
+            rate, lhf.dims, "kg/m**2/s"
         )
     }
 

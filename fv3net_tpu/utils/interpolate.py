@@ -57,16 +57,33 @@ def interpolate_unstructured(data, coords):
     """
     from scipy.spatial import cKDTree
 
+    # lon/lat keys are matched case-insensitively so e.g. "LON"/"Lat"
+    # take the spherical path rather than silently dropping out
+    lon = lat = None
+    angular_keys = set()
+    for name, pair in coords.items():
+        low = name.lower()
+        if low in ("lon", "longitude") and lon is None:
+            lon, _k = pair, angular_keys.add(name)
+        elif low in ("lat", "latitude") and lat is None:
+            lat, _k = pair, angular_keys.add(name)
+    if (lon is None) != (lat is None):
+        # an unpaired lon or lat falls back to a euclidean column
+        angular_keys.clear()
+        lon = lat = None
+
     src_cols, tgt_cols = [], []
     for name, (src, tgt) in coords.items():
+        if name in angular_keys:
+            continue  # handled jointly below
         src = np.asarray(src, float)
         tgt = np.asarray(tgt, float)
-        if name.lower().startswith(("lon", "lat")):
-            continue  # handled jointly below
-        src_cols.append(src[:, None])
-        tgt_cols.append(tgt[:, None])
-    lon = coords.get("lon") or coords.get("longitude")
-    lat = coords.get("lat") or coords.get("latitude")
+        # normalize so an O(1e5) coord (pressure) cannot dominate the
+        # O(1) unit-sphere columns in the KDTree metric
+        scale = np.std(src)
+        scale = scale if scale > 0 else 1.0
+        src_cols.append(src[:, None] / scale)
+        tgt_cols.append(tgt[:, None] / scale)
     if lon is not None and lat is not None:
         def xyz(lo, la):
             lo = np.deg2rad(np.asarray(lo, float))

@@ -145,26 +145,62 @@ def test_data_transform_q1_qm_chain():
 
 
 def test_implied_precip_transform():
-    from fv3net_tpu.constants import GRAV
+    from fv3net_tpu.constants import GRAV, LATENT_HEAT_VAPORIZATION
 
     dims = ("tile", "z", "y", "x")
     q2 = -np.full((6, 3, 2, 2), 1e-7)
     delp = np.full((6, 3, 2, 2), 1e4)
+    lhf = np.full((6, 2, 2), 50.0)
     state = {
         "Q2": Quantity(q2, dims, "kg/kg/s"),
-        "delp": Quantity(delp, dims, "Pa"),
-        "physics_precip": Quantity(
-            np.zeros((6, 2, 2)), ("tile", "y", "x"), "kg/m**2/s"
+        "pressure_thickness_of_atmospheric_layer": Quantity(
+            delp, dims, "Pa"
+        ),
+        "latent_heat_flux": Quantity(
+            lhf, ("tile", "y", "x"), "W/m**2"
         ),
     }
     out = DataTransform(
         "implied_surface_precipitation_rate"
     ).apply(state)
-    expected = 3 * 1e-7 * 1e4 / GRAV
+    expected = 3 * 1e-7 * 1e4 / GRAV + 50.0 / LATENT_HEAT_VAPORIZATION
     np.testing.assert_allclose(
         out["implied_surface_precipitation_rate"].values, expected,
         rtol=1e-6,
     )
+    # rectification: strongly drying column -> zero, never negative
+    state["Q2"] = Quantity(-q2 * 100, dims, "kg/kg/s")
+    out = DataTransform(
+        "implied_surface_precipitation_rate"
+    ).apply(state)
+    np.testing.assert_allclose(
+        out["implied_surface_precipitation_rate"].values, 0.0
+    )
+
+
+def test_qm_matches_reference_formula():
+    from fv3net_tpu.constants import (
+        CP_AIR,
+        LATENT_HEAT_VAPORIZATION,
+        RDGAS,
+    )
+
+    dims = ("tile", "z", "y", "x")
+    rng = np.random.RandomState(1)
+    q1 = rng.randn(6, 3, 2, 2) * 1e-5
+    q2 = rng.randn(6, 3, 2, 2) * 1e-8
+    state = {
+        "Q1": Quantity(q1, dims, "K/s"),
+        "Q2": Quantity(q2, dims, "kg/kg/s"),
+    }
+    out = DataTransform("Qm_from_Q1_Q2").apply(state)
+    np.testing.assert_allclose(
+        out["Qm"].values,
+        (CP_AIR - RDGAS) * q1 + LATENT_HEAT_VAPORIZATION * q2,
+    )
+    # round-trips through the inverse
+    back = DataTransform("Q1_from_Qm_Q2").apply(out)
+    np.testing.assert_allclose(back["Q1"].values, q1, atol=1e-12)
 
 
 def test_registry_has_reference_names():
