@@ -98,3 +98,80 @@ def test_williamson2_steady_state(n, steps, tol):
     assert l2 < tol, f"W2 height L2 drift {l2}"
     # winds bounded
     assert np.abs(np.asarray(out.u)).max() < 150.0
+
+
+def test_linearized_step_spectral_radius():
+    """Certify linear stability of the full SW step: jacfwd the step
+    around a rest state on a C12 cube and assert the spectral radius is
+    <= 1 + tiny.  This is the gate that caught (and now protects
+    against) four round-1 instabilities: the anti-dissipative boundary
+    pairing of the grad-of-div damper, multivalued shared boundary
+    D-edges, the forward-Euler rotational modes, and the boundary-ring
+    mass modes (growing at up to 1.006/substep)."""
+    from fv3net_tpu.dycore.sw import SWMetrics, shallow_water_step
+
+    n, H, dt, d2 = 12, 3000.0, 200.0, 0.12
+    g = CubedSphereGrid.make(n, halo=3)
+    m = SWMetrics.make(g, jnp.float64)
+
+    def step_flat(x):
+        i0 = 6 * n * n
+        i1 = i0 + 6 * (n + 1) * n
+        s = ShallowWaterState(
+            x[:i0].reshape(6, n, n) + H,
+            x[i0:i1].reshape(6, n + 1, n),
+            x[i1:].reshape(6, n, n + 1),
+        )
+        out = shallow_water_step(s, m, dt, 5, d2)
+        return jnp.concatenate(
+            [(out.delp - H).ravel(), out.u.ravel(), out.v.ravel()]
+        )
+
+    dim = 6 * n * n + 6 * (n + 1) * n + 6 * n * (n + 1)
+    J = np.asarray(jax.jacfwd(step_flat)(jnp.zeros(dim, jnp.float64)))
+    radius = np.abs(np.linalg.eigvals(J)).max()
+    assert radius <= 1.0 + 1e-10, f"unstable linearized step: {radius}"
+
+
+def test_corner_divergence_matches_potential_flow():
+    """The computational corner divergence (corner_div_damp's operator)
+    must reproduce the analytic divergence of a potential flow at the
+    cube-corner vertices: the D-halo tables resolve the beyond-corner
+    slots to the real third edge, making the plain 4-term stencil a
+    consistent 3-edge corner divergence (~1%)."""
+    from fv3net_tpu.dycore.sw import SWMetrics, _div_b_op
+
+    n, h = 24, 3
+    g = CubedSphereGrid.make(n, halo=h)
+    m = SWMetrics.make(g, jnp.float64)
+    cor = g.corners_xyz[:, h : h + n + 1, h : h + n + 1]
+
+    # potential flow V = grad_sphere(xyz); divergence = -12 * xyz
+    def grad_y(p):
+        gx = np.stack(
+            [p[..., 1] * p[..., 2], p[..., 0] * p[..., 2],
+             p[..., 0] * p[..., 1]], -1,
+        )
+        return gx - np.sum(gx * p, -1, keepdims=True) * p
+
+    def edge_tangential(a, b):
+        mid = a + b
+        mid /= np.linalg.norm(mid, axis=-1, keepdims=True)
+        t = b - a
+        t -= np.sum(t * mid, -1, keepdims=True) * mid
+        t /= np.linalg.norm(t, axis=-1, keepdims=True)
+        return np.sum(grad_y(mid) * t, -1)
+
+    u = edge_tangential(cor[:, :, :-1], cor[:, :, 1:])
+    v = edge_tangential(cor[:, :-1, :], cor[:, 1:, :])
+    div = np.asarray(_div_b_op(jnp.asarray(u), jnp.asarray(v), m))
+    div_true = -12.0 * np.prod(cor, axis=-1)
+    # local corner spacing for the nondimensional scaling
+    for (cj, ci) in ((0, 0), (0, n), (n, 0), (n, n)):
+        dxl = np.linalg.norm(
+            cor[:, min(cj, n - 1), min(ci + 1, n)]
+            - cor[:, min(cj, n - 1), min(ci, n - 1)], axis=-1,
+        )
+        got = div[:, cj, ci]
+        want = div_true[:, cj, ci] * dxl
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=1e-4)
