@@ -274,9 +274,11 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     # conservative dissipative 2-delta filter on the mass field and the
     # mass-weighted prognostics (sw.scalar_filter): kills the weakly
     # growing boundary-ring mass modes; filtering the theta MASS keeps
-    # constant-theta states exact
-    delp_new = scalar_filter(delp_new, m, FILTER_COEF)
-    pt_new = scalar_filter(ptdp, m, FILTER_COEF) / delp_new
+    # constant-theta states exact.  Skipped in the midpoint half stage
+    # (d2_damp == 0) along with the other dissipation.
+    fc = FILTER_COEF if d2_damp != 0.0 else 0.0
+    delp_new = scalar_filter(delp_new, m, fc)
+    pt_new = scalar_filter(ptdp, m, fc) / delp_new
 
     if nonhydro:
         # w: mass-weighted transport (like pt); delz: volume-form
@@ -291,7 +293,7 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
         w_adv = scalar_filter(
             base.w * base.delp
             + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None],
-            m, FILTER_COEF,
+            m, fc,
         ) / delp_new
         dzx = halo_exchange(ev.delz, h, fill="x")
         dzy = halo_exchange(ev.delz, h, fill="y")
@@ -304,7 +306,7 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
             base.delz + divz[
                 :, :, h : h + n, h : h + n
             ] * m.rarea[:, None],
-            m, FILTER_COEF,
+            m, fc,
         )
 
     # vorticity fluxes (advective) for the wind update
@@ -428,12 +430,21 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     pt_at_u = to_u(pt_p)  # [6, nz, N+1, N]
     pt_at_v = to_v(pt_p)  # [6, nz, N, N+1]
 
-    # --- divergence + vorticity damping on the BASE winds -----------------
-    du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
-    du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
-    du_cd, dv_cd = corner_div_damp(base.u, base.v, m, CORNER_DAMP_COEF)
-    du_damp = du_damp + du_vd + du_cd
-    dv_damp = dv_damp + dv_vd + dv_cd
+    # --- dissipation on the BASE winds (once per substep: the midpoint
+    # half-stage passes d2_damp=0, which disables ALL dissipation --
+    # applying the non-dt-scaled dampers per stage would both double
+    # their strength and double the compile graph) -------------------------
+    if d2_damp != 0.0:
+        du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
+        du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
+        du_cd, dv_cd = corner_div_damp(
+            base.u, base.v, m, CORNER_DAMP_COEF
+        )
+        du_damp = du_damp + du_vd + du_cd
+        dv_damp = dv_damp + dv_vd + dv_cd
+    else:
+        du_damp = jnp.zeros_like(base.u)
+        dv_damp = jnp.zeros_like(base.v)
 
     # --- wind updates -----------------------------------------------------
     dku = ke_phi[:, :, :, 1:] - ke_phi[:, :, :, :-1]
@@ -577,15 +588,46 @@ def make_dycore_stepper(
         corner_damp=corner_damp,
     )
     ak, bk = hybrid_coefficients(nz, ptop)
-    ak = ak.astype(dtype)
-    bk = bk.astype(dtype)
+    one_dt = build_one_dt(
+        m, ak.astype(dtype), bk.astype(dtype), nz, dt_atmos, k_split,
+        n_split, hord, kord, d2_damp, ptop, dtype, remat,
+    )
+
+    @partial(jax.jit, static_argnames=("nsteps",))
+    def run(state: DycoreState, phis, nsteps: int):
+        def body(s, _):
+            return one_dt(s, phis), None
+
+        out, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return out
+
+    return run, m, (ak, bk)
+
+
+def build_one_dt(m, ak, bk, nz, dt_atmos, k_split, n_split, hord, kord,
+                 d2_damp, ptop, dtype, remat=False):
+    """The full-dt step (k_split x [n_split substeps + tracer transport
+    + remap]) as a reusable pure function of (state, phis).
+
+    Works for the full cube (metrics with face dim 6, state [6, ...])
+    AND inside shard_map with per-face-sliced metrics (face dim 1) --
+    the SPMD dycore (parallel/spmd_dycore.py) reuses it unchanged with
+    the halo backend switched to ppermute exchanges.
+    """
     dt_sub = dt_atmos / (k_split * n_split)
     h, n = m.halo, m.n
     N = n + 2 * h
 
     def one_dt(state: DycoreState, phis):
+        nface = state.delp.shape[0]
+
         def outer(st, _):
-            zero_f = jnp.zeros((6, nz, N, N), dtype)
+            # derive the flux accumulators from the state so that under
+            # shard_map they carry the same varying-axis type as the
+            # scan outputs (a literal jnp.zeros would be "replicated")
+            zero_f = jnp.zeros((nface, nz, N, N), dtype) + (
+                0.0 * st.delp[:, :, :1, :1]
+            ).astype(dtype)
             acc = (zero_f, zero_f, zero_f, zero_f)
 
             def inner(carry, __):
@@ -629,12 +671,4 @@ def make_dycore_stepper(
         out, _ = jax.lax.scan(outer, state, None, length=k_split)
         return out
 
-    @partial(jax.jit, static_argnames=("nsteps",))
-    def run(state: DycoreState, phis, nsteps: int):
-        def body(s, _):
-            return one_dt(s, phis), None
-
-        out, _ = jax.lax.scan(body, state, None, length=nsteps)
-        return out
-
-    return run, m, (ak, bk)
+    return one_dt

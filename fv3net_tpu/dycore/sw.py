@@ -657,7 +657,7 @@ def div_damp(u, v, m, d2):
         return jnp.zeros_like(u), jnp.zeros_like(v)
     lead = u.ndim - 3
     area = (1.0 / m.rarea).reshape(
-        (6,) + (1,) * lead + m.rarea.shape[1:]
+        m.rarea.shape[:1] + (1,) * lead + m.rarea.shape[1:]
     )
     div, vjp = jax.vjp(lambda uu, vv: linear_mass_div(uu, vv, m), u, v)
     du, dv = vjp(div * area)
@@ -871,12 +871,21 @@ def _sw_core(
         phi_c = phi_c.at[:, cj, ci].set(vals)
     kphi = ke_c + phi_c
 
-    # --- divergence + vorticity damping on the BASE winds -----------------
-    du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
-    du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
-    du_cd, dv_cd = corner_div_damp(base.u, base.v, m, CORNER_DAMP_COEF)
-    du_damp = du_damp + du_vd + du_cd
-    dv_damp = dv_damp + dv_vd + dv_cd
+    # --- dissipation on the BASE winds (once per substep: the midpoint
+    # half-stage passes d2_damp=0, which disables ALL dissipation --
+    # applying the non-dt-scaled dampers per stage would both double
+    # their strength and double the compile graph) -------------------------
+    if d2_damp != 0.0:
+        du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
+        du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
+        du_cd, dv_cd = corner_div_damp(
+            base.u, base.v, m, CORNER_DAMP_COEF
+        )
+        du_damp = du_damp + du_vd + du_cd
+        dv_damp = dv_damp + dv_vd + dv_cd
+    else:
+        du_damp = jnp.zeros_like(base.u)
+        dv_damp = jnp.zeros_like(base.v)
 
     # --- wind updates -----------------------------------------------------
     du_grad = -(dt / m.dx_u) * (kphi[:, :, 1:] - kphi[:, :, :-1])
@@ -895,8 +904,10 @@ def _sw_core(
     # single-valuedness (mpp domain-symmetry role)
     u_new, v_new = average_dgrid_boundary(u_new, v_new)
     # conservative dissipative 2-delta filter on the mass field: kills
-    # the weakly growing boundary-ring mass modes (see scalar_filter)
-    delp_new = scalar_filter(delp_new, m, FILTER_COEF)
+    # the weakly growing boundary-ring mass modes (see scalar_filter);
+    # skipped in the half stage along with the other dissipation
+    if d2_damp != 0.0:
+        delp_new = scalar_filter(delp_new, m, FILTER_COEF)
     return ShallowWaterState(delp_new, u_new, v_new)
 
 

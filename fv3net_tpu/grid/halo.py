@@ -23,12 +23,32 @@ corners) fall out of the derivation instead of hand-coded tables.
 
 from __future__ import annotations
 
+import contextlib
 from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
 
 from . import topology as topo
+
+# When set (grid.halo.spmd_mode), the public exchange functions
+# dispatch to the shard-local ppermute implementations in
+# parallel/halo_spmd.py -- the same numerical definition, executed as
+# neighbor exchanges over the mesh's face axis instead of full-cube
+# gathers.  This is what lets the dycore run unchanged inside
+# shard_map (parallel/spmd_dycore.py).
+_SPMD_AXIS = None
+
+
+@contextlib.contextmanager
+def spmd_mode(axis: str = "face"):
+    global _SPMD_AXIS
+    prev = _SPMD_AXIS
+    _SPMD_AXIS = axis
+    try:
+        yield
+    finally:
+        _SPMD_AXIS = prev
 
 
 @lru_cache(maxsize=None)
@@ -78,6 +98,10 @@ def halo_exchange(field, h: int, fill: str = "none"):
     gathered (strip tables), and the padded array is assembled with
     static concatenations XLA lowers to copies.
     """
+    if _SPMD_AXIS is not None:
+        from ..parallel import halo_spmd as _hs
+
+        return _hs.halo_exchange_local(field, h, fill, _SPMD_AXIS)
     n = field.shape[-1]
     south, north, west, east = _scalar_strip_tables(n, h, fill)
     src = jnp.moveaxis(field, 0, -3)  # [..., 6, n, n]
@@ -584,6 +608,10 @@ def average_dgrid_boundary(u, v):
     """Replace both stored copies of every shared boundary D-edge with
     their (sign-consistent) average.  u: [6, ..., n+1, n],
     v: [6, ..., n, n+1]."""
+    if _SPMD_AXIS is not None:
+        from ..parallel import halo_spmd as _hs
+
+        return _hs.average_dgrid_boundary_local(u, v, _SPMD_AXIS)
     n = u.shape[-1]
     (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask) = (
         _dgrid_boundary_pair_tables(n)
@@ -616,6 +644,10 @@ def canonicalize_cgrid_boundary(uc, vc):
     (rotated into its frame).  Restores exact shared-face flux
     cancellation (global mass conservation to roundoff) for arbitrary
     wind fields.  uc: [6, ..., n, n+1]; vc: [6, ..., n+1, n]."""
+    if _SPMD_AXIS is not None:
+        from ..parallel import halo_spmd as _hs
+
+        return _hs.canonicalize_cgrid_boundary_local(uc, vc, _SPMD_AXIS)
     n = uc.shape[-2]
     (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep) = (
         _cgrid_boundary_canon_tables(n)
@@ -649,6 +681,10 @@ def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
     halo AND cube-corner slots holding the neighbors' stored values
     rotated into this face's frame (see _cgrid_tables).
     """
+    if _SPMD_AXIS is not None:
+        from ..parallel import halo_spmd as _hs
+
+        return _hs.halo_exchange_cgrid_local(uc, vc, h, fill, _SPMD_AXIS)
     n = uc.shape[-2]
     tables = _cgrid_tables(n, h, fill)
     return _staggered_strip_exchange(
@@ -666,6 +702,10 @@ def halo_exchange_dgrid(u, v, h: int):
     correct sign.  Positions with no well-defined source (cube corners)
     are zero.
     """
+    if _SPMD_AXIS is not None:
+        from ..parallel import halo_spmd as _hs
+
+        return _hs.halo_exchange_dgrid_local(u, v, h, _SPMD_AXIS)
     n = u.shape[-1]
     tables = _dgrid_tables(n, h)
     return _staggered_strip_exchange(
