@@ -114,6 +114,11 @@ class ModelConfig:
     do_radiation: bool = True  # gray radiation inside the gfs suite
     dtype: str = "float32"
     initial_time: str = "2016-08-01T00:00:00"
+    # FV3GFS run directory with INPUT/*.tile?.nc Fortran restarts; the
+    # prognostic state (+ time from coupler.res) initializes from it
+    # (the reference's pace.util.open_restart path,
+    # workflows/prognostic_c48_run/runtime/nudging.py:111-133)
+    restart_dir: Optional[str] = None
 
 
 class _Model:
@@ -148,7 +153,47 @@ class _Model:
         self._init_state()
         self.step_count = 0
         self.time = datetime.datetime.fromisoformat(cfg.initial_time)
+        if cfg.restart_dir is not None:
+            self._init_from_restart(cfg.restart_dir)
         self.initialized = True
+
+    def _init_from_restart(self, rundir: str):
+        """Ingest a Fortran restart directory (INPUT/ preferred, else the
+        newest RESTART prefix) into the prognostic state."""
+        import os
+
+        from .io.restarts import (
+            open_restarts,
+            read_coupler_res,
+            state_from_restarts,
+        )
+
+        opened = open_restarts(rundir)
+        if not opened:
+            raise FileNotFoundError(f"no restart files under {rundir}")
+        prefix = "INPUT" if "INPUT" in opened else sorted(opened)[-1]
+        st, phis = state_from_restarts(opened[prefix], self.config.ptop)
+        expect = (6, self.nz, self.n, self.n)
+        if st.delp.shape != expect:
+            raise ValueError(
+                f"restart resolution {st.delp.shape} does not match the "
+                f"configured model {expect}"
+            )
+        cast = lambda x: None if x is None else jnp.asarray(x, self.dtype)
+        st = DycoreState(*[cast(x) for x in st])
+        if not self.config.hydrostatic and st.w is None:
+            from .dycore.hydro import add_nonhydrostatic_fields
+
+            st = add_nonhydrostatic_fields(st, self.config.ptop)
+        if st.q is None:
+            st = st._replace(
+                q=jnp.zeros((2, 6, self.nz, self.n, self.n), self.dtype)
+            )
+        self.state = st
+        self.phis = jnp.asarray(phis, self.dtype)
+        coupler = os.path.join(rundir, prefix, "coupler.res")
+        if os.path.exists(coupler):
+            self.time = read_coupler_res(coupler)
 
     def _init_geometry(self):
         g = self.grid
