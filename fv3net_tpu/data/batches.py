@@ -136,3 +136,46 @@ def open_batches_from_config(data_config: Mapping):
     (tfdataset_loader_from_dict equivalent, fv3fit/train.py:138)."""
     fn = batches_functions[data_config["function"]]
     return fn(**data_config.get("kwargs", {}))
+
+
+@register_batches_function("batches_from_netcdf")
+def batches_from_netcdf(
+    url: str,
+    variables: Sequence[str],
+    nfiles=None,
+    shuffle: bool = True,
+    seed: int = 0,
+    sort_files: bool = False,
+) -> Sequence[Mapping[str, Quantity]]:
+    """Each NetCDF classic file in a directory becomes one batch
+    (fv3fit NCDirLoader, fv3fit/data/netcdf/load.py:115: identical CDL
+    per file, samples along the first dimension).  Files are read with
+    the in-house codec (io/netcdf3.py); order is shuffled by default
+    with a fixed seed, matching the reference's loader."""
+    import os
+
+    from ..io import netcdf3
+
+    files = [
+        os.path.join(url, f)
+        for f in sorted(os.listdir(url))
+        if f.endswith(".nc")
+    ]
+    if sort_files:
+        files.sort()
+    elif shuffle:
+        np.random.RandomState(seed).shuffle(files)
+    if nfiles is not None:
+        files = files[:nfiles]
+    batches = []
+    for path in files:
+        ds = netcdf3.read(path)
+        batch = {}
+        for v in variables:
+            var = ds.variables[v]
+            batch[v] = Quantity(
+                np.asarray(var.data, np.float32), var.dims,
+                str(var.attrs.get("units", "")),
+            )
+        batches.append(batch)
+    return batches

@@ -583,10 +583,32 @@ def make_dycore_stepper(
     remat: checkpoint each acoustic substep (jax.checkpoint), trading
     recompute for peak HBM — required to fit C384 x 63 on one chip.
     """
-    m = SWMetrics.make(
-        g, dtype, metric_cwinds=metric_cwinds, metric_ke=metric_ke,
-        corner_damp=corner_damp,
-    )
+    # Metric construction dispatches hundreds of tiny eager ops; on a
+    # tunneled accelerator backend (axon) each pays a host<->device
+    # round trip (47 s at C12 vs 3.5 s on CPU).  Build everything on
+    # the host CPU backend, then ship the finished pytree to the
+    # default device in one transfer.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu):
+        m = SWMetrics.make(
+            g, dtype, metric_cwinds=metric_cwinds, metric_ke=metric_ke,
+            corner_damp=corner_damp,
+        )
+    if cpu is not None and jax.default_backend() != "cpu":
+        import dataclasses as _dc
+
+        dev = jax.devices()[0]
+        m = _dc.replace(
+            m,
+            **{
+                f.name: jax.device_put(getattr(m, f.name), dev)
+                for f in _dc.fields(m)
+                if isinstance(getattr(m, f.name), jax.Array)
+            },
+        )
     ak, bk = hybrid_coefficients(nz, ptop)
     one_dt = build_one_dt(
         m, ak.astype(dtype), bk.astype(dtype), nz, dt_atmos, k_split,

@@ -439,16 +439,33 @@ class SWMetrics:
             )
             return vjp_fn(div * area_j)
 
+        # jit the whole 30-step power iteration: tracing T
+        # interpretively per step dominated stepper-construction time
+        # (the round-2 bench regression).  Pinned to the host CPU
+        # backend: it runs once at build time for a scalar, and the
+        # accelerator compile of the vjp/fori graph would cost far
+        # more than the computation.
+        @jax.jit
+        def power_iteration(uu, vv):
+            def body(_, carry):
+                uu, vv, _ = carry
+                uu, vv = T(uu, vv)
+                lam = jnp.sqrt(jnp.sum(uu ** 2) + jnp.sum(vv ** 2))
+                return uu / lam, vv / lam, lam
+
+            return jax.lax.fori_loop(
+                0, 30, body, (uu, vv, jnp.array(1.0, dtype))
+            )[2]
+
         rng = np.random.RandomState(0)
-        uu = jnp.asarray(rng.randn(6, n + 1, n), dtype)
-        vv = jnp.asarray(rng.randn(6, n, n + 1), dtype)
-        lam = 1.0
-        for _ in range(30):
-            uu, vv = T(uu, vv)
-            lam = float(
-                jnp.sqrt(jnp.sum(uu ** 2) + jnp.sum(vv ** 2))
-            )
-            uu, vv = uu / lam, vv / lam
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            uu = jnp.asarray(rng.randn(6, n + 1, n), dtype)
+            vv = jnp.asarray(rng.randn(6, n, n + 1), dtype)
+            lam = float(power_iteration(uu, vv))
         if not np.isfinite(lam) or lam <= 0:
             raise RuntimeError("divergence-damper normalization failed")
         return dataclasses.replace(self, divdamp_scale=8.0 / lam)

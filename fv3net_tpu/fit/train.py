@@ -8,6 +8,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import sys
 
 import yaml
 
@@ -54,6 +55,15 @@ def main(argv=None):
     with open(args.training_data_config) as f:
         data_cfg = yaml.safe_load(f)
     batches = open_batches_from_config(data_cfg)
+
+    from ..utils.artifacts import StepMetadata
+
+    StepMetadata(
+        job_type="train",
+        url=args.output_path,
+        dependencies={"training_data": args.training_data_config},
+        args=list(argv) if argv is not None else sys.argv[1:],
+    ).print_json()
 
     train = get_training_function(config.model_type)
     hp_cls = get_hyperparameter_class(config.model_type)

@@ -130,4 +130,16 @@ def append(url: str, n_steps: Optional[int] = None) -> int:
         log_metrics(compute_metrics(state, area), time)
 
     write_restart(wrapper, os.path.join(seg_dir, "RESTART"))
+    # lineage breadcrumb (segmented_run/append.py:47-51 StepMetadata)
+    from ..utils.artifacts import StepMetadata
+
+    StepMetadata(
+        job_type="prognostic_run",
+        url=seg_dir,
+        dependencies=(
+            {"restart": os.path.join(url, "artifacts", segments[-1])}
+            if segments
+            else None
+        ),
+    ).print_json()
     return 0

@@ -256,3 +256,194 @@ def coarsen_sfc_data(
         else:
             out[name] = weighted_block_average(f, w, factor)
     return out
+
+
+# ----------------------------------------------------------------------
+# "complex" sfc_data method + surface_chgres corrections
+# (coarsen_restarts.py:1032-1411)
+# ----------------------------------------------------------------------
+
+FREEZING_TEMPERATURE = 273.16
+SHDMIN_THRESHOLD = 0.011
+STYPE_LAND_ICE = 16.0
+VTYPE_LAND_ICE = 15.0
+
+
+def _masked_mode(f, mask, factor: int):
+    """Block mode over masked cells only (block_coarsen method='mode',
+    nan_policy='omit'); falls back to the unmasked mode for blocks with
+    no masked cell."""
+    f = np.asarray(f, np.float64)
+    sel = np.where(mask, f, np.nan)
+    from .coarsen import _block_view
+
+    v = _block_view(sel, factor)
+    *lead, nyc, f1, nxc, f2 = v.shape
+    flat = v.swapaxes(-3, -2).reshape(*lead, nyc, nxc, f1 * f2)
+    out = np.empty(flat.shape[:-1], f.dtype)
+    fallback = block_mode(f, factor)
+    for idx in np.ndindex(*flat.shape[:-1]):
+        vals = flat[idx]
+        vals = vals[np.isfinite(vals)]
+        if vals.size == 0:
+            out[idx] = fallback[idx]
+            continue
+        u, c = np.unique(vals, return_counts=True)
+        out[idx] = u[np.argmax(c)]
+    return out
+
+
+def _masked_wavg(f, w, mask, factor: int, fallback=None):
+    """Weighted block average over masked cells; blocks with zero
+    masked weight take ``fallback`` (or 0)."""
+    wm = np.where(mask, w, 0.0)
+    num = block_coarsen(np.asarray(f, np.float64) * wm, factor,
+                        method="sum")
+    den = block_coarsen(wm, factor, method="sum")
+    safe = np.where(den > 0, den, 1.0)
+    out = num / safe
+    if fallback is None:
+        fallback = np.zeros_like(out)
+    return np.where(den > 0, out, fallback)
+
+
+def _masked_reduce(f, mask, factor: int, method: str):
+    big = {"min": np.inf, "max": -np.inf}[method]
+    sel = np.where(mask, np.asarray(f, np.float64), big)
+    out = block_coarsen(sel, factor, method=method)
+    return np.where(np.isfinite(out), out, 0.0)
+
+
+def coarsen_sfc_data_complex(
+    sfc: Mapping[str, "np.ndarray"], area: "np.ndarray", factor: int
+) -> Dict[str, "np.ndarray"]:
+    """The reference's 'complicated' Noah-LSM-aware sfc_data coarsening
+    (_coarse_grain_sfc_data_complex, coarsen_restarts.py:1032):
+
+    1. slmsk coarsens by block mode; vtype/stype by mode over cells of
+       the dominant surface type.
+    2. every other variable follows the per-variable method table
+       (SFC_DATA_COARSENING_METHOD, :1319): plain area weights, area
+       weights restricted to the dominant surface/vegetation/soil
+       type, snow-/ice-fraction weighting, min/max/mode rules, and the
+       tisfc sea-ice special case.
+    3. surface_chgres corrections (:1355-1410): freezing clip over
+       land ice, ice soil type under ice vegetation, zero canopy water
+       over bare land, zero shdmin over land ice.
+    """
+    from .coarsen import block_upsample
+
+    sfc = {k: np.asarray(v) for k, v in sfc.items()}
+    area = np.asarray(area, np.float64)
+    slmsk = sfc["slmsk"]
+    coarse_slmsk = block_mode(slmsk, factor)
+    dom_sfc = np.isclose(slmsk, block_upsample(coarse_slmsk, factor))
+
+    out: Dict[str, np.ndarray] = {"slmsk": coarse_slmsk}
+    if "vtype" in sfc:
+        out["vtype"] = _masked_mode(sfc["vtype"], dom_sfc, factor)
+        dom_vtype = dom_sfc & np.isclose(
+            sfc["vtype"], block_upsample(out["vtype"], factor)
+        )
+    else:
+        dom_vtype = dom_sfc
+    if "stype" in sfc:
+        out["stype"] = _masked_mode(sfc["stype"], dom_sfc, factor)
+        dom_stype = dom_sfc & np.isclose(
+            sfc["stype"], block_upsample(out["stype"], factor)
+        )
+    else:
+        dom_stype = dom_sfc
+
+    vfrac = sfc.get("vfrac", np.ones_like(area))
+    sncovr = sfc.get("sncovr", np.ones_like(area))
+    fice = sfc.get("fice", np.ones_like(area))
+    true_mask = np.ones_like(area, bool)
+
+    plain = {
+        "tsea", "alvsf", "alvwf", "alnsf", "alnwf", "facsf", "facwf",
+        "f10m", "t2m", "q2m", "uustar", "ffmm", "ffhh", "tprcp",
+        "snwdph",
+    }
+    over_dom = {"tg3", "vfrac", "fice", "sncovr"}
+    vfrac_weighted = {"canopy", "zorl"}
+    soil = {"smc", "slc", "stc"}
+
+    for name, f in sfc.items():
+        if name in ("slmsk", "vtype", "stype"):
+            continue
+        if name in plain:
+            out[name] = _masked_wavg(f, area, true_mask, factor)
+        elif name in over_dom:
+            out[name] = _masked_wavg(f, area, dom_sfc, factor)
+        elif name in vfrac_weighted:
+            # area*vfrac weights over dominant sfc+vtype, falling back
+            # to plain area weights where vfrac sums to zero (:1151)
+            m = dom_vtype
+            a_avg = _masked_wavg(f, area, m, factor)
+            out[name] = _masked_wavg(
+                f, area * vfrac, m, factor, fallback=a_avg
+            )
+        elif name in soil:
+            # soil columns [..., zsoil, y, x] or surface [..., y, x]
+            if f.shape == area.shape:
+                m, a = dom_stype, area
+            else:  # [tile, zsoil, y, x]: insert the level axis
+                m = np.broadcast_to(
+                    dom_stype[..., None, :, :], f.shape
+                )
+                a = np.broadcast_to(area[..., None, :, :], f.shape)
+            out[name] = _masked_wavg(f, a, m, factor)
+        elif name == "srflag":
+            out[name] = block_mode(f, factor)
+        elif name == "slope":
+            out[name] = _masked_mode(f, dom_sfc, factor)
+        elif name == "sheleg":
+            out[name] = _masked_wavg(f, area * sncovr, true_mask, factor)
+        elif name == "hice":
+            out[name] = _masked_wavg(f, area * fice, true_mask, factor)
+        elif name == "shdmin":
+            out[name] = _masked_reduce(f, dom_sfc, factor, "min")
+        elif name in ("shdmax", "snoalb"):
+            out[name] = _masked_reduce(f, dom_sfc, factor, "max")
+        elif name == "tisfc":
+            sea_ice = _masked_wavg(f, area * fice, dom_sfc, factor)
+            other = _masked_wavg(f, area, dom_sfc, factor)
+            out[name] = np.where(
+                np.isclose(coarse_slmsk, 2.0), sea_ice, other
+            )
+        else:
+            out[name] = _masked_wavg(f, area, true_mask, factor)
+
+    return apply_surface_chgres_corrections(out)
+
+
+def apply_surface_chgres_corrections(
+    ds: Dict[str, "np.ndarray"]
+) -> Dict[str, "np.ndarray"]:
+    """surface_chgres.f90 corrections (coarsen_restarts.py:1355-1411)."""
+    out = dict(ds)
+    if "vtype" in out:
+        land_ice = np.isclose(out["vtype"], VTYPE_LAND_ICE)
+        for name in ("tsea", "tg3"):
+            if name in out:
+                out[name] = np.where(
+                    land_ice,
+                    np.minimum(out[name], FREEZING_TEMPERATURE),
+                    out[name],
+                )
+        if "stype" in out:
+            out["stype"] = np.where(
+                land_ice, STYPE_LAND_ICE, out["stype"]
+            )
+        if "shdmin" in out:
+            out["shdmin"] = np.where(land_ice, 0.0, out["shdmin"])
+    if "canopy" in out and "shdmin" in out:
+        out["canopy"] = np.where(
+            out["shdmin"] < SHDMIN_THRESHOLD, 0.0, out["canopy"]
+        )
+    return {
+        k: np.asarray(v, np.float32) if np.asarray(v).dtype == np.float64
+        else v
+        for k, v in out.items()
+    }

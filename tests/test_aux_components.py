@@ -158,7 +158,7 @@ def test_diagnostics_compute_and_report(tmp_path):
                                          area)
     assert "wvp_global_mean_timeseries" in diags
     assert diags["wvp_global_mean_timeseries"].shape == (3,)
-    assert "wvp_rmse_vs_initial" in metrics
+    assert "time_and_global_mean_value/wvp" in metrics
     path = generate_run_report(
         str(tmp_path / "run.zarr"), area, str(tmp_path / "report.html")
     )
