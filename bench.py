@@ -58,7 +58,8 @@ def _stage(name):
     )
 
 
-def _time_config(n, nz, jax, jnp, iters_budget_s=6.0, remat=False):
+def _time_config(n, nz, jax, jnp, iters_budget_s=6.0, remat=False,
+                 dt_atmos=900.0):
     """Compile + time the nonhydrostatic dycore step at C<n> x nz."""
     from fv3net_tpu.dycore.hydro import (
         add_nonhydrostatic_fields,
@@ -70,7 +71,6 @@ def _time_config(n, nz, jax, jnp, iters_budget_s=6.0, remat=False):
     import numpy as np
 
     k_split, n_split = 1, 6
-    dt_atmos = 900.0
     g = CubedSphereGrid.make(n, halo=3)
     _stage(f"grid_c{n}")
     run, m, _ = make_dycore_stepper(
@@ -164,18 +164,26 @@ def main():
         }
     )
 
-    # --- stage 2: north-star C384 x 63 single chip (BASELINE.md) -----
-    # skipped when the remaining budget cannot absorb a cold compile
+    # --- stage 2: larger-grid single-chip number ----------------------
+    # The north-star C384 x 63 does NOT fit this chip: the XLA program
+    # needs 21.05G vs 15.75G HBM (measured; halo-padded [6,63,390,390]
+    # f32 temporaries pad 2.0x to the (8,128) tile).  z-blocked
+    # substeps are the planned fix; until then the largest
+    # single-chip config benchmarked is C192 x 63.
+    _RESULT["detail"]["c384"] = (
+        "oom: program 21.05G vs 15.75G HBM (measured); "
+        "multi-chip or z-blocking required"
+    )
     if _remaining() > 55.0 or (
-        _remaining() > 25.0 and r48["compile_s"] < 5.0
+        _remaining() > 25.0 and r48["compile_s"] < 15.0
     ):
         try:
-            # remat: C384 x 63 exceeds 16G HBM without substep
-            # rematerialization (measured 21.05G)
+            # dt scales with resolution (CFL): C48 runs the reference
+            # 900 s; C192 runs 225 s
             r384 = _time_config(
-                384, 63, jax, jnp, iters_budget_s=4.0, remat=True
+                192, 63, jax, jnp, iters_budget_s=4.0, dt_atmos=225.0
             )
-            gridpoints_per_s = 6 * 384 * 384 * 63 / (
+            gridpoints_per_s = 6 * 192 * 192 * 63 / (
                 r384["step_ms"] / 1e3
             )
             # HBM-traffic roofline: the substep streams ~40 padded
@@ -186,7 +194,7 @@ def main():
             achieved_gbs = (
                 r384["updates_per_s"] * est_bytes_per_update / 1e9
             )
-            _RESULT["detail"]["c384"] = {
+            _RESULT["detail"]["c192"] = {
                 "config": r384["config"],
                 "step_ms": r384["step_ms"],
                 "gridpoints_per_s_per_chip": gridpoints_per_s,
@@ -198,11 +206,11 @@ def main():
                 "est_hbm_gbs": achieved_gbs,
                 "est_hbm_fraction_of_819gbs": achieved_gbs / 819.0,
             }
-            _RESULT["detail"]["stage"] = "c384-done"
+            _RESULT["detail"]["stage"] = "c192-done"
         except Exception as e:  # OOM etc: keep the headline number
-            _RESULT["detail"]["c384_error"] = repr(e)
+            _RESULT["detail"]["c192_error"] = repr(e)[:500]
     else:
-        _RESULT["detail"]["c384"] = "skipped (budget)"
+        _RESULT["detail"]["c192"] = "skipped (budget)"
 
     _DONE.set()
     _flush_and_exit()
