@@ -66,7 +66,8 @@ def rms_global(arg: DiagArg) -> Dict:
     area = mask_area("global", arg.grid)
     for name, arr in _vars_2d(arg.prediction).items():
         if name in arg.verification:
-            err = arr - arg.verification[name][: arr.shape[0]]
+            nt = min(arr.shape[0], arg.verification[name].shape[0])
+            err = arr[:nt] - arg.verification[name][:nt]
             out[name] = np.sqrt(
                 weighted_mean(err ** 2, area[None], (1, 2, 3))
             )
@@ -218,9 +219,11 @@ def _register_diurnal():
             if not (area > 0).any():
                 return {}
             dt_hours = float(arg.grid.get("dt_hours", 3.0))
+            t0_hour = float(arg.grid.get("t0_hour", 0.0))
             return {
                 name: diurnal_cycle(
-                    arr, arg.grid["lon"], area, dt_hours
+                    arr, arg.grid["lon"], area, dt_hours,
+                    t0_hour=t0_hour,
                 )
                 for name, arr in _vars_2d(arg.prediction).items()
             }

@@ -423,6 +423,14 @@ def apply_surface_chgres_corrections(
 ) -> Dict[str, "np.ndarray"]:
     """surface_chgres.f90 corrections (coarsen_restarts.py:1355-1411)."""
     out = dict(ds)
+    # Reference ordering (surface_chgres steps 1-4): temperature caps and
+    # stype over land ice first, then the canopy rule evaluated against the
+    # PRE-correction shdmin, and only last zero shdmin over land ice — so a
+    # land-ice cell with shdmin >= threshold keeps its canopy moisture.
+    if "canopy" in out and "shdmin" in out:
+        out["canopy"] = np.where(
+            out["shdmin"] < SHDMIN_THRESHOLD, 0.0, out["canopy"]
+        )
     if "vtype" in out:
         land_ice = np.isclose(out["vtype"], VTYPE_LAND_ICE)
         for name in ("tsea", "tg3"):
@@ -438,10 +446,6 @@ def apply_surface_chgres_corrections(
             )
         if "shdmin" in out:
             out["shdmin"] = np.where(land_ice, 0.0, out["shdmin"])
-    if "canopy" in out and "shdmin" in out:
-        out["canopy"] = np.where(
-            out["shdmin"] < SHDMIN_THRESHOLD, 0.0, out["canopy"]
-        )
     return {
         k: np.asarray(v, np.float32) if np.asarray(v).dtype == np.float64
         else v

@@ -132,6 +132,22 @@ def test_compute_diagnostics_and_metrics():
         assert np.isfinite(v)
 
 
+def test_short_verification_still_yields_rmse_metrics():
+    """A verification series shorter than the prediction must not kill
+    rms_global (and with it every rmse_* metric): both sides truncate
+    to the common length (ADVICE r2, compute.py rms_global)."""
+    grid = _grid()
+    nt = 30
+    grid["delp"] = np.full((nt, 6, 5, 8, 8), 2e4)
+    run = _run(nt=nt)
+    verification = _run(nt=nt - 4, seed=2)  # still covers day 3
+    diags, metrics = compute_diagnostics(
+        run, grid=grid, verification=verification
+    )
+    assert grab_diag(diags, "rms_global")
+    assert any(k.startswith("rmse_3day/") for k in metrics)
+
+
 def test_zero_bias_when_verification_equals_prediction():
     grid = _grid()
     run = _run()

@@ -130,10 +130,12 @@ def test_chgres_corrections():
     # non-ice cell untouched
     assert out["tsea"][0, 0, 1] == pytest.approx(280.0)
     assert out["stype"][0, 0, 1] == 3.0
-    # bare land (shdmin < 0.011) zeroes canopy; land ice shdmin was
-    # zeroed, so its canopy zeroes too
+    # bare land (shdmin < 0.011) zeroes canopy; the canopy rule uses the
+    # PRE-correction shdmin (reference step 3 before step 4), so the
+    # land-ice cell with original shdmin=0.5 keeps its canopy even though
+    # its shdmin is zeroed afterwards
     assert out["canopy"][0, 0, 1] == 0.0
-    assert out["canopy"][0, 0, 0] == 0.0
+    assert out["canopy"][0, 0, 0] == 1.0
 
 
 def test_srflag_mode_and_slope_dominant_mode():
