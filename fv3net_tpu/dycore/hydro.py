@@ -46,6 +46,8 @@ from .riemann import layer_mean_pressure, sim1_solver
 from ..grid.halo import average_dgrid_boundary
 from .sw import (
     CORNER_DAMP_COEF,
+    _masked_vertex_set,
+    vertex_masks,
     FILTER_COEF,
     VORT_DAMP_COEF,
     SWMetrics,
@@ -154,13 +156,17 @@ def _corner_avg(phi):
     )
 
 
-def _vertex_fix_scalar_corner(arr_c, vals3, h, n):
-    """Replace cube-corner vertex entries of a corner-lattice array."""
+def _vertex_fix_scalar_corner(arr_c, vals3, h, n, masks=(None,) * 4):
+    """Replace cube-corner vertex entries of a corner-lattice array.
+
+    masks: per-vertex applicability (sw.vertex_masks) -- under
+    within-face tiling only tiles touching the cube vertex apply the
+    fix; None means always (face level)."""
     hn = h + n
-    for (cj, ci), v3 in zip(
-        ((h, h), (h, hn), (hn, h), (hn, hn)), vals3
+    for (cj, ci), v3, vm in zip(
+        ((h, h), (h, hn), (hn, h), (hn, hn)), vals3, masks
     ):
-        arr_c = arr_c.at[..., cj, ci].set(v3)
+        arr_c = _masked_vertex_set(arr_c, (cj, ci), v3, vm)
     return arr_c
 
 
@@ -336,15 +342,18 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
         - 2.0 * m.cosa_b[:, None] * ubp * vbp
     ) * m.rsin2_b[:, None]
     hn = h + n
+    vmasks = vertex_masks(m)
     vert_edges = (
         ((h, h), ((up, h, h), (vp, h, h), (vp, h - 1, h))),
         ((h, hn), ((up, h, hn - 1), (vp, h, hn), (vp, h - 1, hn))),
         ((hn, h), ((up, hn, h), (vp, hn - 1, h), (vp, hn, h))),
         ((hn, hn), ((up, hn, hn - 1), (vp, hn - 1, hn), (vp, hn, hn))),
     )
-    for (cj, ci), es in vert_edges:
+    for ((cj, ci), es), vm in zip(vert_edges, vmasks):
         a, b, c = (arr[:, :, j, i] for arr, j, i in es)
-        ke_c = ke_c.at[:, :, cj, ci].set((a * a + b * b + c * c) / 3.0)
+        ke_c = _masked_vertex_set(
+            ke_c, (cj, ci), (a * a + b * b + c * c) / 3.0, vm
+        )
 
     # hydrostatic geopotential and Exner function on the NEW mass field
     # (forward-backward coupling), all on fill='y' padded fields
@@ -406,10 +415,10 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     phi_c = _corner_avg(phi_lay)
     pi_c = _corner_avg(pi_lay)
     phi_c = _vertex_fix_scalar_corner(
-        phi_c, _vertex_cells(phi_lay, h, n), h, n
+        phi_c, _vertex_cells(phi_lay, h, n), h, n, vmasks
     )
     pi_c = _vertex_fix_scalar_corner(
-        pi_c, _vertex_cells(pi_lay, h, n), h, n
+        pi_c, _vertex_cells(pi_lay, h, n), h, n, vmasks
     )
     ke_phi = ke_c + phi_c
 
@@ -471,7 +480,7 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
         al_y = halo_exchange(alpha, h, fill="y")
         pp_c = _corner_avg(pp_y)
         pp_c = _vertex_fix_scalar_corner(
-            pp_c, _vertex_cells(pp_y, h, n), h, n
+            pp_c, _vertex_cells(pp_y, h, n), h, n, vmasks
         )
         u_new_p = u_new_p - (dt / m.dx_u[:, None]) * to_u(al_y) * (
             pp_c[:, :, :, 1:] - pp_c[:, :, :, :-1]
@@ -524,18 +533,20 @@ def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
     pt_new = rmp(pt, pe1, pe2, 1, kord_tm)
     delp_new = pe2[:, 1:] - pe2[:, :-1]
 
-    # winds: average interface pressures to the staggered positions
+    # winds: average interface pressures to the staggered positions.
+    # The neighbor cell across a within-face TILE boundary must come
+    # from the owning tile (extend_cells_one); at face edges the
+    # extension is edge-replicated so 0.5*(p+p) reproduces the
+    # one-sided form bit-for-bit.
+    from ..grid.halo import extend_cells_one
+
     def stag_u(p):  # [6, nz+1, n, n] -> [6, nz+1, n+1, n]
-        return jnp.concatenate(
-            [p[:, :, :1], 0.5 * (p[:, :, 1:] + p[:, :, :-1]),
-             p[:, :, -1:]], axis=2
-        )
+        ext = extend_cells_one(p)
+        return 0.5 * (ext[:, :, :-1, 1:-1] + ext[:, :, 1:, 1:-1])
 
     def stag_v(p):
-        return jnp.concatenate(
-            [p[:, :, :, :1], 0.5 * (p[:, :, :, 1:] + p[:, :, :, :-1]),
-             p[:, :, :, -1:]], axis=3
-        )
+        ext = extend_cells_one(p)
+        return 0.5 * (ext[:, :, 1:-1, :-1] + ext[:, :, 1:-1, 1:])
 
     u_new = rmp(u, stag_u(pe1), stag_u(pe2), -1, kord_mt)
     v_new = rmp(v, stag_v(pe1), stag_v(pe2), -1, kord_mt)

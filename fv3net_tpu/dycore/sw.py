@@ -120,6 +120,22 @@ class SWMetrics:
     # cell-centered metric angle (for A-grid KE)
     cosa_c: jax.Array = None  # [6, n, n]
     rsin2_c: jax.Array = None
+    # --- within-face tiling support (parallel/tiling.py) -------------
+    # When the dycore runs on a tile of a face instead of the whole
+    # face, face-EDGE treatments (boundary C-wind weights, cube-vertex
+    # KE/geopotential fixes) must fire only on tiles that actually
+    # touch that face edge.  None (the face-level default) means "this
+    # shard holds whole faces: every edge treatment applies, with the
+    # exact pre-tiling code path".  Under tiling these are traced
+    # booleans derived from the tile's mesh position.
+    edge_w: jax.Array = None
+    edge_e: jax.Array = None
+    edge_s: jax.Array = None
+    edge_n: jax.Array = None
+    # 1/multiplicity weights for the corner-lattice damper: number of
+    # local lattices (face- AND tile-level) computing each corner
+    # point.  None -> the face-level _corner_multiplicity(n).
+    inv_corner_mult: jax.Array = None
     # measured operator norm of the metric divergence damper (div_damp)
     divdamp_scale: float = 1.0
     # scheme switches (trace-time constants)
@@ -475,6 +491,29 @@ FILTER_COEF = 0.02
 VORT_DAMP_COEF = 0.02
 
 
+def vertex_masks(m: "SWMetrics"):
+    """Cube-vertex applicability masks in ((h,h),(h,hn),(hn,h),(hn,hn))
+    = (SW, SE, NW, NE) order; (None,)*4 at face level (always apply)."""
+    if m.edge_w is None:
+        return (None,) * 4
+    return (
+        jnp.logical_and(m.edge_s, m.edge_w),
+        jnp.logical_and(m.edge_s, m.edge_e),
+        jnp.logical_and(m.edge_n, m.edge_w),
+        jnp.logical_and(m.edge_n, m.edge_e),
+    )
+
+
+def _masked_vertex_set(arr, idx, val, mask):
+    """arr.at[..., cj, ci].set(val), gated by an optional traced mask."""
+    cj, ci = idx
+    if mask is None:
+        return arr.at[..., cj, ci].set(val)
+    return arr.at[..., cj, ci].set(
+        jnp.where(mask, val, arr[..., cj, ci])
+    )
+
+
 def linear_mass_div(u, v, m):
     """The linear map winds -> unit-depth mass divergence per cell.
 
@@ -551,6 +590,23 @@ def scalar_filter(q, m, c):
         m.area_py[:, h - 1 : h + n, h : h + n]
         + m.area_py[:, h : h + n + 1, h : h + n]
     )
+    # Within-face tiling: each tile computes its local faces 0..n, so a
+    # face on an interior tile boundary is computed by BOTH adjacent
+    # tiles (like inter-FACE faces at face level, which the operator
+    # intentionally counts once per face).  Halve those shared weights
+    # so the assembled G^T(W G) equals the face-level operator exactly
+    # (both copies are bit-identical, and vjp-through-ppermute sums the
+    # two half-contributions).
+    if m.edge_w is not None:
+        icol = jnp.arange(n + 1)
+        colw = jnp.where(
+            (icol == 0) & ~m.edge_w, 0.5, 1.0
+        ) * jnp.where((icol == n) & ~m.edge_e, 0.5, 1.0)
+        roww = jnp.where(
+            (icol == 0) & ~m.edge_s, 0.5, 1.0
+        ) * jnp.where((icol == n) & ~m.edge_n, 0.5, 1.0)
+        wfx = wfx * colw
+        wfy = wfy * roww[:, None]
     lead = q.ndim - 3  # level axes between face and spatial dims
 
     def bc(a):
@@ -580,12 +636,22 @@ def vort_damp(u, v, m, cv):
     """
     if cv == 0.0:
         return jnp.zeros_like(u), jnp.zeros_like(v)
+    h, n = m.halo, m.n
 
+    # Circulation cells via exchanged winds, cropped to OWN cells: at
+    # face level this is bit-equivalent to the plain local differences
+    # (own-cell inputs are pass-through positions of the D exchange),
+    # but under within-face tiling the vjp then routes each cell's
+    # cotangent through the ppermute transpose to the canonical owner
+    # of every wind slot it touches -- the exact global adjoint, where
+    # a tile-local form would drop the cross-tile contributions.
     def Vop(uu, vv):
-        return (
-            uu[..., :-1, :] - uu[..., 1:, :]
-            + vv[..., :, 1:] - vv[..., :, :-1]
+        up, vp = halo_exchange_dgrid(uu, vv, h)
+        z = (
+            up[..., :-1, :] - up[..., 1:, :]
+            + vp[..., :, 1:] - vp[..., :, :-1]
         )
+        return z[..., h : h + n, h : h + n]
 
     # del-4 form (V^T V)^2 / 8: same 2-delta strength as del-2 with
     # coefficient cv (8*cv per substep) but ~(k dx)^2 weaker on
@@ -649,7 +715,14 @@ def corner_div_damp(u, v, m, c):
     """
     if c == 0.0:
         return jnp.zeros_like(u), jnp.zeros_like(v)
-    inv_mult = jnp.asarray(1.0 / _corner_multiplicity(m.n), u.dtype)
+    if m.inv_corner_mult is not None:
+        im = m.inv_corner_mult  # [1 or L, nl+1, nl+1] per-tile weights
+        lead = u.ndim - 3
+        inv_mult = im.reshape(
+            im.shape[:1] + (1,) * lead + im.shape[1:]
+        ).astype(u.dtype)
+    else:
+        inv_mult = jnp.asarray(1.0 / _corner_multiplicity(m.n), u.dtype)
     div, vjp = jax.vjp(lambda uu, vv: _div_b_op(uu, vv, m), u, v)
     du, dv = vjp(div * inv_mult)
     return -c * du, -c * dv
@@ -724,8 +797,15 @@ def c_grid_winds(up, vp, m):
         )
         return a
 
-    uc_A = uc_A.at[..., rows, h].set(xpatch(h, m.xbw_w))
-    uc_A = uc_A.at[..., rows, h + n].set(xpatch(h + n, m.xbw_e))
+    def put_col(arr, I, patch, mask):
+        if mask is None:
+            return arr.at[..., rows, I].set(patch)
+        return arr.at[..., rows, I].set(
+            jnp.where(mask, patch, arr[..., rows, I])
+        )
+
+    uc_A = put_col(uc_A, h, xpatch(h, m.xbw_w), m.edge_w)
+    uc_A = put_col(uc_A, h + n, xpatch(h + n, m.xbw_e), m.edge_e)
 
     def ypatch(J, w):
         return (
@@ -735,8 +815,15 @@ def c_grid_winds(up, vp, m):
             + bc(w[..., 3]) * u2c[..., J, rows]
         )
 
-    vc_A = vc_A.at[..., h, rows].set(ypatch(h, m.ybw_s))
-    vc_A = vc_A.at[..., h + n, rows].set(ypatch(h + n, m.ybw_n))
+    def put_row(arr, J, patch, mask):
+        if mask is None:
+            return arr.at[..., J, rows].set(patch)
+        return arr.at[..., J, rows].set(
+            jnp.where(mask, patch, arr[..., J, rows])
+        )
+
+    vc_A = put_row(vc_A, h, ypatch(h, m.ybw_s), m.edge_s)
+    vc_A = put_row(vc_A, h + n, ypatch(h + n, m.ybw_n), m.edge_n)
     return uc_A, vc_A
 
 
@@ -855,14 +942,21 @@ def _sw_core(
     # incident boundary-edge winds (the decomposition identity for three
     # ~120-degree unit tangents), which every face evaluates identically.
     hn = h + n
-    for (cj, ci), es in (
-        ((h, h), ((up, h, h), (vp, h, h), (vp, h - 1, h))),
-        ((h, hn), ((up, h, hn - 1), (vp, h, hn), (vp, h - 1, hn))),
-        ((hn, h), ((up, hn, h), (vp, hn - 1, h), (vp, hn, h))),
-        ((hn, hn), ((up, hn, hn - 1), (vp, hn - 1, hn), (vp, hn, hn))),
+    vmasks = vertex_masks(m)
+    for (cj, ci), es, vm in zip(
+        ((h, h), (h, hn), (hn, h), (hn, hn)),
+        (
+            ((up, h, h), (vp, h, h), (vp, h - 1, h)),
+            ((up, h, hn - 1), (vp, h, hn), (vp, h - 1, hn)),
+            ((up, hn, h), (vp, hn - 1, h), (vp, hn, h)),
+            ((up, hn, hn - 1), (vp, hn - 1, hn), (vp, hn, hn)),
+        ),
+        vmasks,
     ):
         a, b, c = (arr[:, j, i] for arr, j, i in es)
-        ke_c = ke_c.at[:, cj, ci].set((a * a + b * b + c * c) / 3.0)
+        ke_c = _masked_vertex_set(
+            ke_c, (cj, ci), (a * a + b * b + c * c) / 3.0, vm
+        )
 
     dp_new_p = halo_exchange(delp_new, h, fill="y")
     if hs is not None:
@@ -878,14 +972,18 @@ def _sw_core(
     )  # [6, N+1, N+1]
     # vertices: mean of the 3 real adjacent cells (the 4th slot is a
     # fill-dependent corner ghost that the faces would disagree on)
-    for (cj, ci), cells in (
-        ((h, h), ((h - 1, h), (h, h - 1), (h, h))),
-        ((h, hn), ((h - 1, hn - 1), (h, hn), (h, hn - 1))),
-        ((hn, h), ((hn, h), (hn - 1, h), (hn - 1, h - 1))),
-        ((hn, hn), ((hn, hn - 1), (hn - 1, hn), (hn - 1, hn - 1))),
+    for (cj, ci), cells, vm in zip(
+        ((h, h), (h, hn), (hn, h), (hn, hn)),
+        (
+            ((h - 1, h), (h, h - 1), (h, h)),
+            ((h - 1, hn - 1), (h, hn), (h, hn - 1)),
+            ((hn, h), (hn - 1, h), (hn - 1, h - 1)),
+            ((hn, hn - 1), (hn - 1, hn), (hn - 1, hn - 1)),
+        ),
+        vmasks,
     ):
         vals = sum(phi[:, j, i] for j, i in cells) / 3.0
-        phi_c = phi_c.at[:, cj, ci].set(vals)
+        phi_c = _masked_vertex_set(phi_c, (cj, ci), vals, vm)
     kphi = ke_c + phi_c
 
     # --- dissipation on the BASE winds (once per substep: the midpoint

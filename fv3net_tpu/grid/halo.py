@@ -36,19 +36,23 @@ from . import topology as topo
 # parallel/halo_spmd.py -- the same numerical definition, executed as
 # neighbor exchanges over the mesh's face axis instead of full-cube
 # gathers.  This is what lets the dycore run unchanged inside
-# shard_map (parallel/spmd_dycore.py).
+# shard_map (parallel/spmd_dycore.py).  With a TileLayout (tiling=...)
+# the dispatch goes to the within-face tiled plans
+# (parallel/tiling.py) over the flattened (face, y, x) mesh axes.
 _SPMD_AXIS = None
+_SPMD_TILING = None
 
 
 @contextlib.contextmanager
-def spmd_mode(axis: str = "face"):
-    global _SPMD_AXIS
-    prev = _SPMD_AXIS
+def spmd_mode(axis: str = "face", tiling=None):
+    global _SPMD_AXIS, _SPMD_TILING
+    prev = (_SPMD_AXIS, _SPMD_TILING)
     _SPMD_AXIS = axis
+    _SPMD_TILING = tiling
     try:
         yield
     finally:
-        _SPMD_AXIS = prev
+        _SPMD_AXIS, _SPMD_TILING = prev
 
 
 @lru_cache(maxsize=None)
@@ -98,6 +102,10 @@ def halo_exchange(field, h: int, fill: str = "none"):
     gathered (strip tables), and the padded array is assembled with
     static concatenations XLA lowers to copies.
     """
+    if _SPMD_TILING is not None:
+        from ..parallel import tiling as _tl
+
+        return _tl.halo_exchange_tiled(field, _SPMD_TILING, fill)
     if _SPMD_AXIS is not None:
         from ..parallel import halo_spmd as _hs
 
@@ -140,6 +148,22 @@ def _agrid_vector_tables(n: int, h: int):
                 sl = np.s_[f, h + n :, h : h + n]
             m00[sl], m01[sl], m10[sl], m11[sl] = c, -s, s, c
     return m00, m01, m10, m11
+
+
+def extend_cells_one(field):
+    """Pad a cell-centered field [6(or L), ..., n, n] by ONE ghost cell
+    per side WITHIN the face: plain edge replication at face level (and
+    at true face boundaries under tiling), neighbor-tile cells at
+    within-face tile boundaries.  Bit-preserving contract: at face
+    level this is exactly jnp.pad(mode='edge'), so one-sided boundary
+    formulas written as 0.5*(ext[j] + ext[j+1]) reproduce their
+    pre-extension bits (0.5*(x+x) == x)."""
+    if _SPMD_TILING is not None:
+        from ..parallel import tiling as _tl
+
+        return _tl.extend_cells_one_tiled(field, _SPMD_TILING)
+    pad = [(0, 0)] * (field.ndim - 2) + [(1, 1), (1, 1)]
+    return jnp.pad(field, pad, mode="edge")
 
 
 def halo_exchange_vector_cgrid(u, v, h: int):
@@ -608,6 +632,10 @@ def average_dgrid_boundary(u, v):
     """Replace both stored copies of every shared boundary D-edge with
     their (sign-consistent) average.  u: [6, ..., n+1, n],
     v: [6, ..., n, n+1]."""
+    if _SPMD_TILING is not None:
+        from ..parallel import tiling as _tl
+
+        return _tl.average_dgrid_boundary_tiled(u, v, _SPMD_TILING)
     if _SPMD_AXIS is not None:
         from ..parallel import halo_spmd as _hs
 
@@ -644,6 +672,10 @@ def canonicalize_cgrid_boundary(uc, vc):
     (rotated into its frame).  Restores exact shared-face flux
     cancellation (global mass conservation to roundoff) for arbitrary
     wind fields.  uc: [6, ..., n, n+1]; vc: [6, ..., n+1, n]."""
+    if _SPMD_TILING is not None:
+        from ..parallel import tiling as _tl
+
+        return _tl.canonicalize_cgrid_boundary_tiled(uc, vc, _SPMD_TILING)
     if _SPMD_AXIS is not None:
         from ..parallel import halo_spmd as _hs
 
@@ -681,6 +713,10 @@ def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
     halo AND cube-corner slots holding the neighbors' stored values
     rotated into this face's frame (see _cgrid_tables).
     """
+    if _SPMD_TILING is not None:
+        from ..parallel import tiling as _tl
+
+        return _tl.halo_exchange_cgrid_tiled(uc, vc, _SPMD_TILING, fill)
     if _SPMD_AXIS is not None:
         from ..parallel import halo_spmd as _hs
 
@@ -702,6 +738,10 @@ def halo_exchange_dgrid(u, v, h: int):
     correct sign.  Positions with no well-defined source (cube corners)
     are zero.
     """
+    if _SPMD_TILING is not None:
+        from ..parallel import tiling as _tl
+
+        return _tl.halo_exchange_dgrid_tiled(u, v, _SPMD_TILING)
     if _SPMD_AXIS is not None:
         from ..parallel import halo_spmd as _hs
 

@@ -16,10 +16,10 @@ transposes ppermute exactly.
 
 The reference scales by 6*x*y MPI ranks with FMS halo updates
 (runtime/segmented_run/run.py:34-35); here the face axis rides the ICI
-mesh.  Within-face (y, x) tiling composes on top of these tables (the
-pool plans are derived from full-cube gather tables, so block-level
-plans only need the global->shard index map); that extension is the
-next scaling step and is tracked in COMPONENTS.md.
+mesh, and the WITHIN-FACE (y, x) axes are provided by
+make_tiled_spmd_dycore_stepper below (parallel/tiling.py): device
+meshes (face=F, y=Y, x=X) with every exchange derived from the same
+face-level gather tables -- the full 6*x*y scaling axis.
 """
 
 from __future__ import annotations
@@ -139,3 +139,237 @@ def make_spmd_dycore_stepper(
         )
 
     return run, shard, m
+
+
+# --------------------------------------------------------------------------
+# Within-face (x, y) tiled SPMD dycore (parallel/tiling.py)
+# --------------------------------------------------------------------------
+# The reference scales by 6*x*y MPI ranks (segmented_run/run.py:34-35);
+# this is that scaling axis on a (face=F, y=Y, x=X) device mesh.  Cell-
+# centered fields shard natively over (face, y, x); staggered winds are
+# carried in BLOCKED layout [6, Y, X, nz, nl+1, nl] (each tile stores
+# one redundant top row / right col, refreshed from its canonical owner
+# by every exchange -- see tiling.py).  The numerical step is the same
+# build_one_dt, with per-tile-sliced metrics and the face-edge/vertex
+# treatments gated by the tile's mesh position.
+
+from .tiling import TileLayout, tile_inv_corner_mult
+
+_PAD_XY = (
+    "area_px", "area_py", "f_px", "f_py", "dxc_f", "dyc_f", "dy_f",
+    "dx_f", "dy_fs", "dx_fs", "cosa_u", "rsin2_u", "cosa_v", "rsin2_v",
+    "sina_u", "sina_v",
+)
+_INT_XY = ("rarea", "f_center", "cosa_c", "rsin2_c")
+_BW_ROWS = ("xbw_w", "xbw_e")
+_BW_COLS = ("ybw_s", "ybw_n")
+
+
+def _slice_metrics_tiled(m: SWMetrics, lay: TileLayout, a, b, c):
+    """Slice every metric array to device (a, b, c)'s tile windows."""
+    ds = jax.lax.dynamic_slice
+    L, nl, h = lay.L, lay.nl, m.halo
+    Nt = nl + 2 * h
+    zero = jnp.zeros_like(a)
+    fa = a * L
+    rb, cc = b * nl, c * nl
+    up = {}
+    for name in _PAD_XY:
+        v = getattr(m, name)
+        up[name] = ds(v, (fa, rb, cc), (L, Nt, Nt))
+    for name in _INT_XY:
+        v = getattr(m, name)
+        up[name] = ds(v, (fa, rb, cc), (L, nl, nl))
+    up["dx_u"] = ds(m.dx_u, (fa, rb, cc), (L, Nt + 1, Nt))
+    up["dy_v"] = ds(m.dy_v, (fa, rb, cc), (L, Nt, Nt + 1))
+    up["cosa_b"] = ds(m.cosa_b, (fa, rb, cc), (L, Nt + 1, Nt + 1))
+    up["rsin2_b"] = ds(m.rsin2_b, (fa, rb, cc), (L, Nt + 1, Nt + 1))
+    up["area_c_int"] = ds(
+        m.area_c_int, (fa, rb, cc), (L, nl + 1, nl + 1)
+    )
+    for name in _BW_ROWS:
+        up[name] = ds(getattr(m, name), (fa, rb, zero), (L, nl, 4))
+    for name in _BW_COLS:
+        up[name] = ds(getattr(m, name), (fa, cc, zero), (L, nl, 4))
+    icm = jnp.asarray(
+        tile_inv_corner_mult(lay), m.area_px.dtype
+    )
+    up["inv_corner_mult"] = ds(
+        icm, (b, c, zero, zero), (1, 1, nl + 1, nl + 1)
+    )[0]
+    up["edge_w"] = c == 0
+    up["edge_e"] = c == lay.X - 1
+    up["edge_s"] = b == 0
+    up["edge_n"] = b == lay.Y - 1
+    return dataclasses.replace(m, n=nl, **up)
+
+
+def block_winds(u, v, lay: TileLayout):
+    """[6, nz, n+1, n], [6, nz, n, n+1] -> blocked
+    [6, Y, X, nz, nl+1, nl], [6, Y, X, nz, nl, nl+1]."""
+    nl = lay.nl
+    ub = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    u[:, :, b * nl : b * nl + nl + 1,
+                      c * nl : (c + 1) * nl]
+                    for c in range(lay.X)
+                ],
+                axis=1,
+            )
+            for b in range(lay.Y)
+        ],
+        axis=1,
+    )
+    vb = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    v[:, :, b * nl : (b + 1) * nl,
+                      c * nl : c * nl + nl + 1]
+                    for c in range(lay.X)
+                ],
+                axis=1,
+            )
+            for b in range(lay.Y)
+        ],
+        axis=1,
+    )
+    return ub, vb
+
+
+def unblock_winds(ub, vb, lay: TileLayout):
+    """Inverse of block_winds, reading every slot from its canonical
+    owner (interior shared rows/cols from the tile whose block starts
+    there; the face's own n-th row/col from the last tile)."""
+    nl = lay.nl
+    rows = [ub[:, b, :, :, :nl] for b in range(lay.Y)]
+    rows.append(ub[:, lay.Y - 1, :, :, nl:])
+    u = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [r[:, cidx] for cidx in range(lay.X)], axis=-1
+            )
+            for r in rows
+        ],
+        axis=-2,
+    )
+    cols = [vb[:, :, cidx, :, :, :nl] for cidx in range(lay.X)]
+    cols.append(vb[:, :, lay.X - 1, :, :, nl:])
+    v = jnp.concatenate(
+        [jnp.concatenate(
+            [cpart[:, b] for b in range(lay.Y)], axis=-2
+        ) for cpart in cols],
+        axis=-1,
+    )
+    return u, v
+
+
+def make_tiled_spmd_dycore_stepper(
+    g: CubedSphereGrid,
+    nz: int,
+    mesh: Mesh,
+    lay: TileLayout,
+    dt_atmos: float,
+    k_split: int = 1,
+    n_split: int = 6,
+    hord: int = 5,
+    kord: int = 9,
+    d2_damp: float = 0.12,
+    ptop: float = 300.0,
+    dtype=jnp.float32,
+    remat: bool = False,
+):
+    """The (face, y, x)-tiled multi-chip dycore step.
+
+    Returns (run, shard, gather): ``run(state, phis, nsteps)`` takes a
+    DycoreState whose u/v are in BLOCKED layout (see block_winds) and
+    every other field in its natural global shape, sharded over
+    ``mesh``; ``shard`` places a standard full state (blocking the
+    winds); ``gather`` is the inverse.
+    """
+    shape = dict(mesh.shape)
+    if (shape.get("face"), shape.get("y"), shape.get("x")) != (
+        lay.F, lay.Y, lay.X
+    ):
+        raise ValueError(
+            f"mesh {shape} does not match layout {lay}"
+        )
+    if g.n != lay.n or g.halo != lay.h:
+        raise ValueError("grid/layout mismatch")
+    m = SWMetrics.make(g, dtype)
+    ak, bk = hybrid_coefficients(nz, ptop)
+    one_dt_builder = partial(
+        build_one_dt,
+        ak=ak.astype(dtype), bk=bk.astype(dtype), nz=nz,
+        dt_atmos=dt_atmos, k_split=k_split, n_split=n_split,
+        hord=hord, kord=kord, d2_damp=d2_damp, ptop=ptop,
+        dtype=dtype, remat=remat,
+    )
+
+    cell_spec = P("face", None, "y", "x")
+    wind_spec = P("face", "y", "x", None, None, None)
+    q_spec = P(None, "face", None, "y", "x")
+    phis_spec = P("face", "y", "x")
+
+    def spec_for(state: DycoreState):
+        return DycoreState(
+            delp=cell_spec, pt=cell_spec, u=wind_spec, v=wind_spec,
+            q=None if state.q is None else q_spec,
+            w=None if state.w is None else cell_spec,
+            delz=None if state.delz is None else cell_spec,
+        )
+
+    def local_steps(state: DycoreState, phis, nsteps: int):
+        a = jax.lax.axis_index("face")
+        b = jax.lax.axis_index("y")
+        c = jax.lax.axis_index("x")
+        ml = _slice_metrics_tiled(m, lay, a, b, c)
+        # blocked winds arrive [L, 1, 1, nz, nl+1, nl] -> drop tile dims
+        state = state._replace(
+            u=state.u[:, 0, 0], v=state.v[:, 0, 0]
+        )
+        with halo_mod.spmd_mode(tiling=lay):
+            one_dt = one_dt_builder(m=ml)
+
+            def body(s, _):
+                return one_dt(s, phis), None
+
+            out, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return out._replace(
+            u=out.u[:, None, None], v=out.v[:, None, None]
+        )
+
+    def run(state: DycoreState, phis, nsteps: int):
+        sp = spec_for(state)
+        fn = jax.shard_map(
+            partial(local_steps, nsteps=nsteps),
+            mesh=mesh,
+            in_specs=(sp, phis_spec),
+            out_specs=sp,
+        )
+        return jax.jit(fn)(state, phis)
+
+    def shard(state: DycoreState, phis):
+        ub, vb = block_winds(state.u, state.v, lay)
+        blocked = state._replace(u=ub, v=vb)
+        sp = spec_for(state)
+
+        def put(x, spec):
+            if x is None:
+                return None
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        placed = DycoreState(
+            *[put(x, s) for x, s in zip(blocked, sp)]
+        )
+        return placed, jax.device_put(
+            phis, NamedSharding(mesh, phis_spec)
+        )
+
+    def gather(state: DycoreState):
+        u, v = unblock_winds(state.u, state.v, lay)
+        return state._replace(u=u, v=v)
+
+    return run, shard, gather

@@ -705,3 +705,77 @@ def average_dgrid_boundary_tiled(u, v, lay: TileLayout):
         apply_plan(v_own, pool, _AXES) + apply_plan(v_part, pool, _AXES)
     )
     return uo, vo
+
+
+# --------------------------------------------------------------------------
+# Per-tile corner-lattice multiplicity (corner_div_damp weights)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def tile_inv_corner_mult(lay: TileLayout) -> np.ndarray:
+    """[Y, X, nl+1, nl+1] 1/multiplicity, where multiplicity counts how
+    many LOCAL corner lattices (across all faces and tiles) compute the
+    physical point: face interior 1 (x2/x4 on within-face tile
+    boundaries), face edges 2 (x2 at tile boundaries along the edge),
+    cube vertices 3.  For Y=X=1 this reduces exactly to the face-level
+    sw._corner_multiplicity table."""
+    n, nl = lay.n, lay.nl
+    out = np.zeros((lay.Y, lay.X, nl + 1, nl + 1))
+    for b in range(lay.Y):
+        for c in range(lay.X):
+            J = b * nl + np.arange(nl + 1)[:, None]
+            I = c * nl + np.arange(nl + 1)[None, :]
+            edge_j = (J == 0) | (J == n)
+            edge_i = (I == 0) | (I == n)
+            ty = ((J % nl == 0) & (J > 0) & (J < n)).astype(int) + 1
+            tx = ((I % nl == 0) & (I > 0) & (I < n)).astype(int) + 1
+            interior = ty * tx
+            edge = np.where(edge_j, 2 * tx, 2 * ty)
+            mult = np.where(
+                edge_j & edge_i, 3.0,
+                np.where(edge_j | edge_i, edge, interior),
+            )
+            out[b, c] = 1.0 / mult
+    return out
+
+
+# --------------------------------------------------------------------------
+# Within-face one-ring extension (remap staggered-pressure support)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def extend1_plan(lay: TileLayout) -> CompressedPlan:
+    """Pad each tile by ONE ghost cell per side with WITHIN-FACE
+    neighbors, edge-replicated at the face boundary -- the tiled
+    counterpart of jnp.pad(..., mode='edge') on the full face
+    (grid.halo.extend_cells_one).  Used where face-level code takes a
+    one-sided boundary form that must stay one-sided at face edges but
+    become two-sided at interior tile boundaries (e.g. remap_step's
+    staggered interface pressures)."""
+    n, nl = lay.n, lay.nl
+    idx = np.clip(np.arange(-1, n + 1), 0, n - 1)
+    J = idx[:, None] * np.ones((1, n + 2), np.int64)
+    I = np.ones((n + 2, 1), np.int64) * idx[None, :]
+    face_loc = (J * n + I)[None] * np.ones((6, 1, 1), np.int64)
+    face_src = np.arange(6)[:, None, None] * np.ones_like(face_loc)
+    sign = np.ones_like(face_loc, np.float64)
+
+    def window(b, c):
+        return (
+            slice(b * nl, b * nl + nl + 2),
+            slice(c * nl, c * nl + nl + 2),
+        )
+
+    return build_compressed_plan(
+        *_tile_tables(lay, face_src, face_loc, sign,
+                      _scalar_owner_vec, _scalar_block(lay), window,
+                      (nl + 2, nl + 2))
+    )
+
+
+def extend_cells_one_tiled(field, lay: TileLayout):
+    """field [L, lead..., nl, nl] -> [L, lead..., nl+2, nl+2]."""
+    plan = extend1_plan(lay)
+    return _unlead(apply_plan(plan, _pack_scalar(field), _AXES))

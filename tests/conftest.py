@@ -12,8 +12,11 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
+    # 24 virtual devices: enough for the (face=6, y=2, x=2) within-face
+    # tiled mesh (tests/test_tiled_dycore.py); face-only tests use the
+    # first 6-8.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=24"
     ).strip()
 
 import jax  # noqa: E402
