@@ -186,7 +186,9 @@ class PureNudger:
                 var, f"{var}_tendency_due_to_nudging"
             )
             tendencies[tname] = Quantity(tend, ref.dims, "")
-            diags[f"tendency_of_{var}_due_to_nudging"] = Quantity(
+            # the nudged-to-fine training-data convention consumed by
+            # open_nudge_to_fine (loaders _nudged.py:118)
+            diags[f"{var}_tendency_due_to_nudging"] = Quantity(
                 tend, ref.dims, ""
             )
         return tendencies, diags, {}
