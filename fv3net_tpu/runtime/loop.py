@@ -159,6 +159,10 @@ class TimeLoop:
         self.n_steps = n_steps
         self.monitored = list(monitored_variables)
         self._step_count = 0
+        # per-substep wall-clock (reference runtime/loop.py:272,681)
+        from .timing import Timer
+
+        self.timer = Timer()
 
     # --- substeps ---------------------------------------------------------
 
@@ -227,13 +231,28 @@ class TimeLoop:
     # --- iteration --------------------------------------------------------
 
     def __iter__(self):
+        substeps = (
+            ("tracers", self._compute_column_integrated_tracers),
+            ("dynamics", self._step_dynamics),
+            ("prephysics", self._step_prephysics),
+            ("physics", self._step_physics),
+            ("postphysics", self._step_postphysics),
+        )
         while self.n_steps is None or self._step_count < self.n_steps:
             diags = {}
-            diags.update(self._compute_column_integrated_tracers())
-            diags.update(self._step_dynamics())
-            diags.update(self._step_prephysics())
-            diags.update(self._step_physics())
-            diags.update(self._step_postphysics())
-            self.wrapper.save_intermediate_restart_if_enabled()
+            with self.timer.clock("mainloop"):
+                for name, substep in substeps:
+                    with self.timer.clock(name):
+                        diags.update(substep())
+                self.wrapper.save_intermediate_restart_if_enabled()
             self._step_count += 1
             yield self.state.time, diags
+
+    def log_timings(self):
+        """min/max/mean per substep (log_global_timings,
+        runtime/loop.py:516-543)."""
+        from .timing import timing_report
+
+        report = timing_report(self.timer)
+        logger.info("timing report: %s", report)
+        return report

@@ -124,10 +124,19 @@ def append(url: str, n_steps: Optional[int] = None) -> int:
     diag_files = get_diagnostic_files(user_config.diagnostics, seg_dir)
     loop = TimeLoop(wrapper, state, model_cfg.dt_atmos, n_steps=steps)
     area = wrapper.get_model().area
-    for time, diags in loop:
+    from ..runtime.timing import ScalarSink, write_timing_json
+
+    scalars = ScalarSink(seg_dir)
+    for step, (time, diags) in enumerate(loop):
         for df in diag_files:
             df.observe(time, diags)
-        log_metrics(compute_metrics(state, area), time)
+        metrics = compute_metrics(state, area)
+        log_metrics(metrics, time)
+        scalars.write(step, time, metrics)
+    scalars.close()
+    # per-substep min/max/mean wall-clock (loop.py:516-543 analogue)
+    loop.log_timings()
+    write_timing_json(loop.timer, seg_dir)
 
     write_restart(wrapper, os.path.join(seg_dir, "RESTART"))
     # lineage breadcrumb (segmented_run/append.py:47-51 StepMetadata)

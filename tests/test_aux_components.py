@@ -208,3 +208,64 @@ def test_mesh_sharding():
     area = jnp.ones((6, 4, 4))
     gm = jax.jit(global_mean)(sharded.delp[:, 0], area)
     np.testing.assert_allclose(float(gm), 1.0)
+
+
+def test_timer_and_scalar_sink(tmp_path):
+    """Per-substep timing + scalar observability
+    (reference runtime/loop.py:516-543, runtime/main.py:47-49)."""
+    import time as _t
+
+    from fv3net_tpu.runtime.timing import (
+        ScalarSink,
+        Timer,
+        read_scalars,
+        timing_report,
+        write_timing_json,
+    )
+
+    t = Timer()
+    for _ in range(3):
+        with t.clock("dynamics"):
+            _t.sleep(0.002)
+        with t.clock("physics"):
+            pass
+    rep = timing_report(t)
+    assert rep["dynamics"]["count"] == 3
+    assert rep["dynamics"]["min"] <= rep["dynamics"]["mean"] <= rep["dynamics"]["max"]
+    assert rep["dynamics"]["mean"] >= 0.002
+    path = write_timing_json(t, str(tmp_path))
+    import json
+
+    assert "physics" in json.load(open(path))
+
+    sink = ScalarSink(str(tmp_path))
+    sink.write(0, "2016-08-01 00:15:00", {"a": 1.0, "b": 2.0})
+    sink.write(1, "2016-08-01 00:30:00", {"a": 3.0})
+    sink.close()
+    series = read_scalars(sink.path)
+    assert [r["value"] for r in series["a"]] == [1.0, 3.0]
+
+
+def test_segmented_run_emits_timing_and_scalars(tmp_path):
+    """A segment leaves timing.json + scalars.jsonl next to its
+    diagnostics (VERDICT r2 item 10)."""
+    import json
+    import os
+
+    from fv3net_tpu.runtime.segmented_run import append, create
+
+    url = str(tmp_path / "run")
+    create(url, {
+        "namelist": {
+            "npx": 7, "npz": 8, "dt_atmos": 600.0, "n_split": 4,
+            "segment_steps": 2, "dtype": "float64",
+        },
+    })
+    append(url)
+    seg = os.path.join(url, "artifacts", "0000")
+    timing = json.load(open(os.path.join(seg, "timing.json")))
+    assert "dynamics" in timing and timing["dynamics"]["count"] == 2
+    lines = open(os.path.join(seg, "scalars.jsonl")).read().splitlines()
+    assert len(lines) >= 2
+    rec = json.loads(lines[0])
+    assert set(rec) == {"step", "time", "name", "value"}
