@@ -139,9 +139,13 @@ def _measure(n, nz, run, state, phis_np, jax, jnp,
     t0 = time.perf_counter()
     for _ in range(iters):
         st = run(st, phis, 1)
-    st.delp.block_until_ready()
+    # force TRUE completion with a data-dependent scalar fetch:
+    # block_until_ready on the axon tunnel can acknowledge tens of ms
+    # before the device finishes (measured r3), which would inflate the
+    # reported throughput
+    finite = bool(jnp.isfinite(st.delp).all())
     dt = (time.perf_counter() - t0) / iters
-    assert bool(jnp.isfinite(st.delp).all()), "state blew up"
+    assert finite, "state blew up"
 
     cells = 6 * n * n * nz
     updates_per_s = cells * 6 / dt  # k_split=1, n_split=6

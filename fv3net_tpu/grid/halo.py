@@ -88,6 +88,48 @@ def _scalar_strip_tables(n: int, h: int, fill: str):
     )
 
 
+def _halo_blocks(n: int, h: int):
+    """The 8 halo blocks of the padded [N, N] array (N = n + 2h)."""
+    N = n + 2 * h
+    return {
+        "S": (slice(0, h), slice(h, h + n)),
+        "N": (slice(h + n, N), slice(h, h + n)),
+        "W": (slice(h, h + n), slice(0, h)),
+        "E": (slice(h, h + n), slice(h + n, N)),
+        "SW": (slice(0, h), slice(0, h)),
+        "SE": (slice(0, h), slice(h + n, N)),
+        "NW": (slice(h + n, N), slice(0, h)),
+        "NE": (slice(h + n, N), slice(h + n, N)),
+    }
+
+
+@lru_cache(maxsize=None)
+def _scalar_affine_plan(n: int, h: int, fill: str):
+    """Compile the scalar halo tables into slice/flip/transpose op
+    trees (ops.affine_gather): per receiver face, per halo block."""
+    from ..ops import affine_gather as ag
+
+    if fill == "none":
+        src_face, src_j, src_i, _ = topo.halo_source_indices(n, h)
+    else:
+        src_face, src_j, src_i, _ = topo.halo_source_indices_filled(
+            n, h, fill
+        )
+    seg = np.zeros_like(src_face)
+    sign = np.ones(src_face.shape)
+    plan = {}
+    for name, (rs, cs) in _halo_blocks(n, h).items():
+        plan[name] = tuple(
+            ag.compile_block(
+                seg[f, rs, cs], src_face[f, rs, cs],
+                src_j[f, rs, cs], src_i[f, rs, cs],
+                sign[f, rs, cs], widths=(n,),
+            )
+            for f in range(6)
+        )
+    return plan
+
+
 def halo_exchange(field, h: int, fill: str = "none"):
     """Pad a cell-centered scalar [6, ..., n, n] with h halo cells.
 
@@ -98,9 +140,11 @@ def halo_exchange(field, h: int, fill: str = "none"):
     version of FV3's copy_corners(dir=1/2) (tp_core.F90); use 'y' before
     y-direction stencils that run on x-halo columns and vice versa.
 
-    Implementation: interior is a pass-through; only the halo ring is
-    gathered (strip tables), and the padded array is assembled with
-    static concatenations XLA lowers to copies.
+    Implementation: interior is a pass-through; the halo ring is
+    assembled from the gather tables COMPILED to slice/flip/transpose
+    copies (ops.affine_gather) -- bit-identical to the flat gather but
+    at memcpy speed (arbitrary-index gathers on the lane dim were the
+    dominant cost of the whole dycore substep at C192).
     """
     if _SPMD_TILING is not None:
         from ..parallel import tiling as _tl
@@ -110,18 +154,30 @@ def halo_exchange(field, h: int, fill: str = "none"):
         from ..parallel import halo_spmd as _hs
 
         return _hs.halo_exchange_local(field, h, fill, _SPMD_AXIS)
+    from ..ops import affine_gather as ag
+
     n = field.shape[-1]
-    south, north, west, east = _scalar_strip_tables(n, h, fill)
-    src = jnp.moveaxis(field, 0, -3)  # [..., 6, n, n]
-    flat = src.reshape(src.shape[:-3] + (6 * n * n,))
+    plan = _scalar_affine_plan(n, h, fill)
+    srcs = ([field[g] for g in range(6)],)
+    lead = field.shape[1:-2]
+    dtype = field.dtype
 
-    def take(tbl):
-        return jnp.take(flat, jnp.asarray(tbl), axis=-1)
+    def blk(name, g):
+        return ag.apply_block(srcs, plan[name][g], dtype, lead)
 
-    s, nn_, w, e = take(south), take(north), take(west), take(east)
-    mid = jnp.concatenate([w, src, e], axis=-1)  # [..., 6, n, N]
-    out = jnp.concatenate([s, mid, nn_], axis=-2)  # [..., 6, N, N]
-    return jnp.moveaxis(out, -3, 0)
+    outs = []
+    for g in range(6):
+        mid = jnp.concatenate(
+            [blk("W", g), field[g], blk("E", g)], axis=-1
+        )
+        bot = jnp.concatenate(
+            [blk("SW", g), blk("S", g), blk("SE", g)], axis=-1
+        )
+        top = jnp.concatenate(
+            [blk("NW", g), blk("N", g), blk("NE", g)], axis=-1
+        )
+        outs.append(jnp.concatenate([bot, mid, top], axis=-2))
+    return jnp.stack(outs, axis=0)
 
 
 @lru_cache(maxsize=None)
@@ -423,44 +479,111 @@ def _cgrid_tables(n: int, h: int, fill: str):
     return build("uc"), build("vc")
 
 
-def _staggered_strip_exchange(a, b, tables, h, rows_a, cols_a, rows_b,
-                              cols_b, dtype):
-    """Shared strip-form implementation for C/D-grid pair exchanges.
+def _staggered_affine_plan(tables, h, rows_a, cols_a, rows_b, cols_b,
+                           n):
+    """Compile a staggered pair's padded gather tables into per-face,
+    per-halo-block affine op trees (ops.affine_gather).
 
-    a, b: the two staggered arrays; tables: ((a_flat, a_sign),
-    (b_flat, b_sign)) full padded tables; rows_*/cols_*: interior
-    extents of each padded array.  Gathers only the halo ring of each
-    array and assembles with static concats.
-    """
-    na = a.shape[-1]
-    asrc = jnp.moveaxis(a, 0, -3)
-    asrc_flat = asrc.reshape(asrc.shape[:-3] + (-1,))
-    bsrc = jnp.moveaxis(b, 0, -3)
-    bsrc_flat = bsrc.reshape(bsrc.shape[:-3] + (-1,))
-    pool = jnp.concatenate([asrc_flat, bsrc_flat], axis=-1)
+    Pool layout (as built by _dgrid_tables/_cgrid_tables): segment 0 =
+    array a, per-face [rows_a, cols_a] interiors; segment 1 = array b
+    [rows_b, cols_b], offset 6*rows_a*cols_a."""
+    from ..ops import affine_gather as ag
 
-    def build(src, flat, sign, rows, cols):
+    sa = rows_a * cols_a
+
+    def decode(flat):
+        flat = np.asarray(flat, np.int64)
+        in_a = flat < 6 * sa
+        g_a = flat // sa
+        r_a = (flat % sa) // cols_a
+        c_a = flat % cols_a
+        fb = flat - 6 * sa
+        sb = rows_b * cols_b
+        g_b = fb // sb
+        r_b = (fb % sb) // cols_b
+        c_b = fb % cols_b
+        seg = np.where(in_a, 0, 1)
+        return (
+            seg,
+            np.where(in_a, g_a, g_b),
+            np.where(in_a, r_a, r_b),
+            np.where(in_a, c_a, c_b),
+        )
+
+    def blocks(rows, cols, pr, pc):
+        # 8 halo blocks of a padded [pr, pc] array with interior
+        # [h:h+rows, h:h+cols]
+        return {
+            "S": (slice(0, h), slice(h, h + cols)),
+            "N": (slice(h + rows, pr), slice(h, h + cols)),
+            "W": (slice(h, h + rows), slice(0, h)),
+            "E": (slice(h, h + rows), slice(h + cols, pc)),
+            "SW": (slice(0, h), slice(0, h)),
+            "SE": (slice(0, h), slice(h + cols, pc)),
+            "NW": (slice(h + rows, pr), slice(0, h)),
+            "NE": (slice(h + rows, pr), slice(h + cols, pc)),
+        }
+
+    def compile_side(flat, sign, rows, cols):
         flat = np.asarray(flat)
         sign = np.asarray(sign)
-        Np_r, Np_c = flat.shape[1], flat.shape[2]
-        r0, r1 = h, h + rows
-        c0, c1 = h, h + cols
-
-        def take(tf, ts):
-            return jnp.take(pool, jnp.asarray(tf.astype(np.int32)),
-                            axis=-1) * jnp.asarray(ts, dtype)
-
-        s = take(flat[:, :r0, :], sign[:, :r0, :])
-        nn_ = take(flat[:, r1:, :], sign[:, r1:, :])
-        w = take(flat[:, r0:r1, :c0], sign[:, r0:r1, :c0])
-        e = take(flat[:, r0:r1, c1:], sign[:, r0:r1, c1:])
-        mid = jnp.concatenate([w, src, e], axis=-1)
-        return jnp.concatenate([s, mid, nn_], axis=-2)
+        pr, pc = flat.shape[1], flat.shape[2]
+        seg, face, r, c = decode(flat)
+        plan = {}
+        for name, (rs, cs) in blocks(rows, cols, pr, pc).items():
+            plan[name] = tuple(
+                ag.compile_block(
+                    seg[f, rs, cs], face[f, rs, cs], r[f, rs, cs],
+                    c[f, rs, cs], sign[f, rs, cs],
+                    widths=(cols_a, cols_b),
+                )
+                for f in range(6)
+            )
+        return plan
 
     (a_flat, a_sign), (b_flat, b_sign) = tables
-    ao = build(asrc, a_flat, a_sign, rows_a, cols_a)
-    bo = build(bsrc, b_flat, b_sign, rows_b, cols_b)
-    return jnp.moveaxis(ao, -3, 0), jnp.moveaxis(bo, -3, 0)
+    return (
+        compile_side(a_flat, a_sign, rows_a, cols_a),
+        compile_side(b_flat, b_sign, rows_b, cols_b),
+    )
+
+
+def _staggered_strip_exchange(a, b, tables, h, rows_a, cols_a, rows_b,
+                              cols_b, dtype, plan=None):
+    """Shared implementation for C/D-grid pair exchanges: the halo ring
+    of each padded array is assembled from the gather tables COMPILED
+    to slice/flip/transpose copies (ops.affine_gather; bit-identical to
+    the flat gather, memcpy speed)."""
+    from ..ops import affine_gather as ag
+
+    if plan is None:
+        plan = _staggered_affine_plan(
+            tables, h, rows_a, cols_a, rows_b, cols_b, a.shape[-1]
+        )
+    plan_a, plan_b = plan
+    srcs = ([a[g] for g in range(6)], [b[g] for g in range(6)])
+    lead = a.shape[1:-2]
+
+    def build(src_faces, plan_side):
+        outs = []
+        for g in range(6):
+            def blk(name):
+                return ag.apply_block(srcs, plan_side[name][g], dtype,
+                                      lead)
+
+            mid = jnp.concatenate(
+                [blk("W"), src_faces[g], blk("E")], axis=-1
+            )
+            bot = jnp.concatenate(
+                [blk("SW"), blk("S"), blk("SE")], axis=-1
+            )
+            top = jnp.concatenate(
+                [blk("NW"), blk("N"), blk("NE")], axis=-1
+            )
+            outs.append(jnp.concatenate([bot, mid, top], axis=-2))
+        return jnp.stack(outs, axis=0)
+
+    return build(srcs[0], plan_a), build(srcs[1], plan_b)
 
 
 @lru_cache(maxsize=None)
@@ -631,7 +754,8 @@ def _dgrid_boundary_pair_tables(n: int):
 def average_dgrid_boundary(u, v):
     """Replace both stored copies of every shared boundary D-edge with
     their (sign-consistent) average.  u: [6, ..., n+1, n],
-    v: [6, ..., n, n+1]."""
+    v: [6, ..., n, n+1].  Boundary strips are affine-compiled copies
+    (ops.affine_gather); interior is untouched."""
     if _SPMD_TILING is not None:
         from ..parallel import tiling as _tl
 
@@ -641,29 +765,15 @@ def average_dgrid_boundary(u, v):
 
         return _hs.average_dgrid_boundary_local(u, v, _SPMD_AXIS)
     n = u.shape[-1]
-    (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask) = (
-        _dgrid_boundary_pair_tables(n)
-    )
-    usrc = jnp.moveaxis(u, 0, -3)
-    vsrc = jnp.moveaxis(v, 0, -3)
-    pool = jnp.concatenate(
-        [
-            usrc.reshape(usrc.shape[:-3] + (-1,)),
-            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
-        ],
-        axis=-1,
-    )
+    plan_u, plan_v = _avg_affine_plans(n)
+    srcs = ([u[g] for g in range(6)], [v[g] for g in range(6)])
 
-    def apply(src, idx, sign, mask):
-        partner = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
-            sign, src.dtype
-        )
-        avg = 0.5 * (src + partner)
-        return jnp.where(jnp.asarray(mask), avg, src)
+    def combine(own, partner, mask):
+        return jnp.where(mask, 0.5 * (own + partner), own)
 
-    uo = apply(usrc, u_idx, u_sign, u_mask)
-    vo = apply(vsrc, v_idx, v_sign, v_mask)
-    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
+    uo = _apply_boundary_strips(u, srcs, plan_u, combine)
+    vo = _apply_boundary_strips(v, srcs, plan_v, combine)
+    return uo, vo
 
 
 def canonicalize_cgrid_boundary(uc, vc):
@@ -671,7 +781,8 @@ def canonicalize_cgrid_boundary(uc, vc):
     the higher-indexed face adopts the lower-indexed face's value
     (rotated into its frame).  Restores exact shared-face flux
     cancellation (global mass conservation to roundoff) for arbitrary
-    wind fields.  uc: [6, ..., n, n+1]; vc: [6, ..., n+1, n]."""
+    wind fields.  uc: [6, ..., n, n+1]; vc: [6, ..., n+1, n].
+    Boundary strips are affine-compiled copies (ops.affine_gather)."""
     if _SPMD_TILING is not None:
         from ..parallel import tiling as _tl
 
@@ -681,28 +792,15 @@ def canonicalize_cgrid_boundary(uc, vc):
 
         return _hs.canonicalize_cgrid_boundary_local(uc, vc, _SPMD_AXIS)
     n = uc.shape[-2]
-    (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep) = (
-        _cgrid_boundary_canon_tables(n)
-    )
-    usrc = jnp.moveaxis(uc, 0, -3)
-    vsrc = jnp.moveaxis(vc, 0, -3)
-    pool = jnp.concatenate(
-        [
-            usrc.reshape(usrc.shape[:-3] + (-1,)),
-            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
-        ],
-        axis=-1,
-    )
+    plan_u, plan_v = _canon_affine_plans(n)
+    srcs = ([uc[g] for g in range(6)], [vc[g] for g in range(6)])
 
-    def apply(src, idx, coef, rep):
-        repl = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
-            coef, src.dtype
-        )
-        return jnp.where(jnp.asarray(rep), repl, src)
+    def combine(own, partner, mask):
+        return jnp.where(mask, partner, own)
 
-    uo = apply(usrc, uc_idx, uc_coef, uc_rep)
-    vo = apply(vsrc, vc_idx, vc_coef, vc_rep)
-    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
+    uo = _apply_boundary_strips(uc, srcs, plan_u, combine)
+    vo = _apply_boundary_strips(vc, srcs, plan_v, combine)
+    return uo, vo
 
 
 def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
@@ -723,8 +821,9 @@ def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
         return _hs.halo_exchange_cgrid_local(uc, vc, h, fill, _SPMD_AXIS)
     n = uc.shape[-2]
     tables = _cgrid_tables(n, h, fill)
+    plan = _cgrid_affine_plans(n, h, fill)
     return _staggered_strip_exchange(
-        uc, vc, tables, h, n, n + 1, n + 1, n, uc.dtype
+        uc, vc, tables, h, n, n + 1, n + 1, n, uc.dtype, plan
     )
 
 
@@ -748,6 +847,146 @@ def halo_exchange_dgrid(u, v, h: int):
         return _hs.halo_exchange_dgrid_local(u, v, h, _SPMD_AXIS)
     n = u.shape[-1]
     tables = _dgrid_tables(n, h)
+    plan = _dgrid_affine_plans(n, h)
     return _staggered_strip_exchange(
-        u, v, tables, h, n + 1, n, n, n + 1, u.dtype
+        u, v, tables, h, n + 1, n, n, n + 1, u.dtype, plan
+    )
+
+
+@lru_cache(maxsize=None)
+def _dgrid_affine_plans(n: int, h: int):
+    return _staggered_affine_plan(
+        _dgrid_tables(n, h), h, n + 1, n, n, n + 1, n
+    )
+
+
+@lru_cache(maxsize=None)
+def _cgrid_affine_plans(n: int, h: int, fill: str):
+    return _staggered_affine_plan(
+        _cgrid_tables(n, h, fill), h, n, n + 1, n + 1, n, n
+    )
+
+def _pool_decode2(rows_a, cols_a, rows_b, cols_b):
+    """Decode flat indices of a 2-segment per-face pool (segment 0 =
+    [6, rows_a, cols_a], segment 1 offset 6*rows_a*cols_a)."""
+    sa = rows_a * cols_a
+    sb = rows_b * cols_b
+
+    def decode(flat):
+        flat = np.asarray(flat, np.int64)
+        in_a = flat < 6 * sa
+        fb = flat - 6 * sa
+        return (
+            np.where(in_a, 0, 1),
+            np.where(in_a, flat // sa, fb // sb),
+            np.where(in_a, (flat % sa) // cols_a, (fb % sb) // cols_b),
+            np.where(in_a, flat % cols_a, fb % cols_b),
+        )
+
+    return decode
+
+
+def _compile_boundary_strips(idx, sign, mask, rows, cols, decode,
+                             widths):
+    """Compile the 4 boundary strips (first/last row and col) of a
+    full-array replacement table into affine op trees; interior slots
+    are untouched pass-through.  Returns {(axis, which): (tree, mask,
+    rs, cs)} entries for strips that have any active slot."""
+    from ..ops import affine_gather as ag
+
+    idx = np.asarray(idx)
+    sign = np.asarray(sign, float)
+    mask = np.asarray(mask, bool)
+    seg, face, r, c = decode(idx)
+    sig = np.where(mask, sign, 0.0)
+    out = {}
+    # disjoint strips: corners belong to the row strips only, so no
+    # slot is applied twice (the table semantics apply each slot once)
+    strips = {
+        (-2, 0): (slice(0, 1), slice(None)),
+        (-2, 1): (slice(rows - 1, rows), slice(None)),
+        (-1, 0): (slice(1, rows - 1), slice(0, 1)),
+        (-1, 1): (slice(1, rows - 1), slice(cols - 1, cols)),
+    }
+    for key, (rs, cs) in strips.items():
+        if not mask[:, rs, cs].any():
+            continue
+        trees = tuple(
+            ag.compile_block(
+                seg[f, rs, cs], face[f, rs, cs], r[f, rs, cs],
+                c[f, rs, cs], sig[f, rs, cs], widths=widths,
+            )
+            for f in range(6)
+        )
+        out[key] = (trees, mask[:, rs, cs], rs, cs)
+    return out
+
+
+def _apply_boundary_strips(arr, srcs, strip_plan, combine):
+    """Overwrite the compiled boundary strips of arr [6, lead..., R, C]
+    with combine(own_strip, partner_strip, mask).  Strips are disjoint
+    (corners live in the row strips), so application order is
+    immaterial."""
+    from ..ops import affine_gather as ag
+
+    lead = arr.shape[1:-2]
+    dtype = arr.dtype
+    R, C = arr.shape[-2], arr.shape[-1]
+    for (axis, which), (trees, mask, rs, cs) in strip_plan.items():
+        new_faces = []
+        for g in range(6):
+            own = arr[g][..., rs, cs]
+            partner = ag.apply_block(srcs, trees[g], dtype, lead)
+            new_faces.append(combine(own, partner, jnp.asarray(mask[g])))
+        new_strip = jnp.stack(new_faces, axis=0)
+        if axis == -2:
+            lo = 0 if which == 0 else R - 1
+            arr = jnp.concatenate(
+                [arr[..., :lo, :], new_strip, arr[..., lo + 1 :, :]],
+                axis=-2,
+            )
+        else:
+            lo = 0 if which == 0 else C - 1
+            # col strips span interior rows [1, R-1); keep the corner
+            # rows of the existing column
+            col = jnp.concatenate(
+                [
+                    arr[..., 0:1, lo : lo + 1],
+                    new_strip,
+                    arr[..., R - 1 : R, lo : lo + 1],
+                ],
+                axis=-2,
+            )
+            arr = jnp.concatenate(
+                [arr[..., :, :lo], col, arr[..., :, lo + 1 :]],
+                axis=-1,
+            )
+    return arr
+
+
+@lru_cache(maxsize=None)
+def _avg_affine_plans(n: int):
+    (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask) = (
+        _dgrid_boundary_pair_tables(n)
+    )
+    decode = _pool_decode2(n + 1, n, n, n + 1)
+    return (
+        _compile_boundary_strips(u_idx, u_sign, u_mask, n + 1, n,
+                                 decode, (n, n + 1)),
+        _compile_boundary_strips(v_idx, v_sign, v_mask, n, n + 1,
+                                 decode, (n, n + 1)),
+    )
+
+
+@lru_cache(maxsize=None)
+def _canon_affine_plans(n: int):
+    (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep) = (
+        _cgrid_boundary_canon_tables(n)
+    )
+    decode = _pool_decode2(n, n + 1, n + 1, n)
+    return (
+        _compile_boundary_strips(uc_idx, uc_coef, uc_rep, n, n + 1,
+                                 decode, (n + 1, n)),
+        _compile_boundary_strips(vc_idx, vc_coef, vc_rep, n + 1, n,
+                                 decode, (n + 1, n)),
     )
