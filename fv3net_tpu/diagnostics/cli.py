@@ -1,0 +1,208 @@
+"""`prognostic_run_diags` CLI: compute / metrics / report / movies.
+
+Mirrors the reference's subcommand surface
+(workflows/diagnostics/fv3net/diagnostics/prognostic_run/cli.py:16-33)
+over this framework's registries: ``compute`` runs the ~24 diagnostic
+groups over a run's zarr output and saves them (npz + metrics.json),
+``metrics`` re-emits the scalar metrics from a saved diagnostics file,
+``report`` renders the HTML report, and ``movies`` renders PNG frame
+sequences of every 2D variable with viz.plot_cube
+(views/movies.py role; assembled to .mp4 iff ffmpeg exists).
+
+Usage:
+    python -m fv3net_tpu.diagnostics.cli compute RUN_ZARR -o OUTDIR
+    python -m fv3net_tpu.diagnostics.cli metrics OUTDIR/diags.npz
+    python -m fv3net_tpu.diagnostics.cli report RUN_ZARR -o OUTDIR
+    python -m fv3net_tpu.diagnostics.cli movies RUN_ZARR -o OUTDIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _load_run(url: str) -> Dict[str, np.ndarray]:
+    from .compute import load_run
+
+    run = load_run(url)
+    run.pop("time", None)
+    return run
+
+
+def _infer_grid(run: Dict[str, np.ndarray], dt_hours: float):
+    """Build area/lat/lon from the run's resolution (the role of the
+    reference's vcm.catalog grid entries, which this environment
+    resolves by direct construction)."""
+    from ..grid import CubedSphereGrid
+
+    n = None
+    for arr in run.values():
+        if np.ndim(arr) >= 4:
+            n = arr.shape[-1]
+            break
+    if n is None:
+        raise ValueError("run contains no [time, tile, y, x] arrays")
+    g = CubedSphereGrid.make(n, halo=3)
+    sl = g.interior
+    return {
+        "area": np.asarray(g.area[sl]),
+        "lat": np.asarray(g.lat[sl]),
+        "lon": np.asarray(g.lon[sl]),
+        "dt_hours": dt_hours,
+    }
+
+
+def compute_cmd(url: str, output: str, dt_hours: float = 3.0,
+                verification: Optional[str] = None) -> str:
+    from .compute import compute_diagnostics
+
+    run = _load_run(url)
+    grid = _infer_grid(run, dt_hours)
+    verif = _load_run(verification) if verification else None
+    diags, metrics = compute_diagnostics(
+        run, grid=grid, verification=verif
+    )
+    os.makedirs(output, exist_ok=True)
+    diags_path = os.path.join(output, "diags.npz")
+    np.savez_compressed(
+        diags_path,
+        **{k: np.asarray(v) for k, v in diags.items()},
+    )
+    metrics_path = os.path.join(output, "metrics.json")
+    with open(metrics_path, "w") as f:
+        json.dump(
+            {k: float(v) for k, v in metrics.items()}, f, indent=2,
+            sort_keys=True,
+        )
+    return diags_path
+
+
+def metrics_cmd(diags_path: str) -> Dict[str, float]:
+    """Re-emit scalar metrics from a saved diagnostics archive."""
+    metrics_path = os.path.join(
+        os.path.dirname(diags_path), "metrics.json"
+    )
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            metrics = json.load(f)
+    else:
+        raise FileNotFoundError(
+            f"no metrics.json next to {diags_path}; run `compute` first"
+        )
+    print(json.dumps(metrics, indent=2, sort_keys=True))
+    return metrics
+
+
+def report_cmd(url: str, output: str, dt_hours: float = 3.0) -> str:
+    from .compute import compute_diagnostics
+    from .report import HTMLReport, write_report
+
+    run = _load_run(url)
+    grid = _infer_grid(run, dt_hours)
+    diags, metrics = compute_diagnostics(run, grid=grid)
+    rep = HTMLReport("prognostic run report", {"run": url})
+    for name, val in diags.items():
+        arr = np.asarray(val)
+        if arr.ndim == 1 and arr.size > 1:
+            rep.add_timeseries("Timeseries", name, arr)
+    rep.add_table("Metrics", "scalar metrics", metrics)
+    os.makedirs(output, exist_ok=True)
+    path = os.path.join(output, "index.html")
+    write_report(rep, path)
+    return path
+
+
+def movies_cmd(url: str, output: str, variables=None,
+               max_frames: int = 120) -> Dict[str, str]:
+    """PNG frame sequences (+ mp4 when ffmpeg exists) of every 2D run
+    variable (views/movies.py role)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..viz import plot_cube
+
+    run = _load_run(url)
+    out = {}
+    for name, arr in run.items():
+        arr = np.asarray(arr)
+        if arr.ndim != 4:
+            continue
+        if variables and name not in variables:
+            continue
+        var_dir = os.path.join(output, "movies", name)
+        os.makedirs(var_dir, exist_ok=True)
+        vmin, vmax = np.nanpercentile(arr, [2, 98])
+        nt = min(arr.shape[0], max_frames)
+        for t in range(nt):
+            fig, ax, _ = plot_cube(
+                arr[t], vmin=vmin, vmax=vmax,
+                title=f"{name} frame {t}",
+            )
+            fig.savefig(
+                os.path.join(var_dir, f"frame_{t:04d}.png"), dpi=72
+            )
+            plt.close(fig)
+        out[name] = var_dir
+        if shutil.which("ffmpeg"):
+            subprocess.run(
+                [
+                    "ffmpeg", "-y", "-loglevel", "quiet", "-r", "6",
+                    "-i", os.path.join(var_dir, "frame_%04d.png"),
+                    os.path.join(output, "movies", f"{name}.mp4"),
+                ],
+                check=False,
+            )
+    return out
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="prognostic_run_diags")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("compute", help="run the diagnostics registry")
+    p.add_argument("url", help="run diagnostics zarr store")
+    p.add_argument("-o", "--output", default="diags_output")
+    p.add_argument("--dt-hours", type=float, default=3.0)
+    p.add_argument("--verification", default=None)
+
+    p = sub.add_parser("metrics", help="print scalar metrics")
+    p.add_argument("diags", help="path to diags.npz from `compute`")
+
+    p = sub.add_parser("report", help="compute + HTML report")
+    p.add_argument("url")
+    p.add_argument("-o", "--output", default="diags_output")
+    p.add_argument("--dt-hours", type=float, default=3.0)
+
+    p = sub.add_parser("movies", help="PNG/mp4 renders of 2D fields")
+    p.add_argument("url")
+    p.add_argument("-o", "--output", default="diags_output")
+    p.add_argument("--variables", nargs="*", default=None)
+    p.add_argument("--max-frames", type=int, default=120)
+
+    args = parser.parse_args(argv)
+    if args.command == "compute":
+        path = compute_cmd(args.url, args.output, args.dt_hours,
+                           args.verification)
+        print(path)
+    elif args.command == "metrics":
+        metrics_cmd(args.diags)
+    elif args.command == "report":
+        print(report_cmd(args.url, args.output, args.dt_hours))
+    elif args.command == "movies":
+        out = movies_cmd(args.url, args.output, args.variables,
+                         args.max_frames)
+        print(json.dumps({k: v for k, v in out.items()}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

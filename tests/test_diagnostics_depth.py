@@ -183,3 +183,50 @@ def test_report_consumes_metrics(tmp_path):
     html = open(out).read()
     assert "rmse" in html
     assert "<svg" in html or "table" in html
+
+
+def test_cli_compute_report_movies(tmp_path):
+    """The prognostic_run_diags CLI surface (reference cli.py:16-33):
+    one command turns a run's zarr output into diags + metrics +
+    report + movie frames (VERDICT r2 item 9)."""
+    import json
+    import os
+
+    from fv3net_tpu.diagnostics.cli import main
+    from fv3net_tpu.io.zarr_lite import ZarrLiteStore
+
+    # synthetic run store [time, tile, y, x]
+    n, nt = 12, 26
+    rng = np.random.RandomState(0)
+    run = tmp_path / "diags.zarr"
+    store = ZarrLiteStore(str(run))
+    for name in ("surface_pressure", "total_precipitation_rate"):
+        arr = (1e5 + 50 * rng.randn(nt, 6, n, n)).astype(np.float32)
+        store.create_array(
+            name, shape=arr.shape, chunks=(1, 6, n, n),
+            dtype=np.float32, dims=("time", "tile", "y", "x"),
+        )
+        store.write_full(name, arr)
+
+    out = str(tmp_path / "out")
+    assert main(["compute", str(run), "-o", out]) == 0
+    diags = np.load(os.path.join(out, "diags.npz"))
+    assert any(k.endswith("rms_global/surface_pressure") or
+               "time_mean_value" in k for k in diags.files), diags.files
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
+
+    assert main(["metrics", os.path.join(out, "diags.npz")]) == 0
+
+    assert main(["report", str(run), "-o", out]) == 0
+    html = open(os.path.join(out, "index.html")).read()
+    assert "Metrics" in html
+
+    assert main([
+        "movies", str(run), "-o", out,
+        "--variables", "surface_pressure", "--max-frames", "3",
+    ]) == 0
+    frames = os.listdir(
+        os.path.join(out, "movies", "surface_pressure")
+    )
+    assert "frame_0000.png" in frames and len(frames) >= 3
