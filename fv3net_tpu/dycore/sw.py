@@ -523,14 +523,20 @@ def linear_mass_div(u, v, m):
     divergence.  Used both directly and -- transposed via jax.vjp --
     as the pressure-gradient operator (see pgf_grad).
     """
+    up, vp = halo_exchange_dgrid(u, v, m.halo)
+    return _mass_div_from_padded(up, vp, m)
+
+
+def _mass_div_from_padded(up, vp, m):
+    """linear_mass_div body after the D-grid exchange (shared with the
+    combined damper so one exchange feeds several operators)."""
     h, n = m.halo, m.n
     N = n + 2 * h
-    lead = u.ndim - 3  # level axes between face and spatial dims
+    lead = up.ndim - 3  # level axes between face and spatial dims
 
     def bc(a):
         return a.reshape(a.shape[:1] + (1,) * lead + a.shape[1:])
 
-    up, vp = halo_exchange_dgrid(u, v, h)
     uc_A, vc_A = c_grid_winds(up, vp, m)
     uc_int = uc_A[..., h : h + n, h : h + n + 1]
     vc_int = vc_A[..., h : h + n + 1, h : h + n]
@@ -686,8 +692,12 @@ def _div_b_op(u, v, m):
     vertices the D-halo tables resolve the beyond-corner slots to the
     real third edge; the result matches an analytic potential flow to
     ~1%."""
+    up, vp = halo_exchange_dgrid(u, v, m.halo)
+    return _div_b_from_padded(up, vp, m)
+
+
+def _div_b_from_padded(up, vp, m):
     h, n = m.halo, m.n
-    up, vp = halo_exchange_dgrid(u, v, h)
     lead = [(0, 0)] * (up.ndim - 2)
     u_pad = jnp.pad(up, lead + [(0, 0), (1, 1)])
     v_pad = jnp.pad(vp, lead + [(1, 1), (0, 0)])
@@ -1040,3 +1050,66 @@ def make_sw_stepper(g: CubedSphereGrid, dt: float, hord: int = 5,
         return out
 
     return run, m
+
+
+def combined_wind_damping(u, v, m, d2, cv, cc):
+    """div_damp + vort_damp + corner_div_damp with SHARED exchanges.
+
+    All three dampers are -c * A^T(W A u) forms whose A starts with the
+    same D-grid halo exchange; computed separately they cost 4 forward
+    + 4 transposed exchange chains per substep (vort's del-4 form needs
+    two).  This fuses them into one forward F = (mass_div, circulation,
+    corner_div) + one combined vjp (linearity lets the three cotangents
+    share the transpose), plus the one extra V / V^T pair the del-4
+    vorticity damper needs: 2+2 chains total, bit-equivalent math up to
+    summation order.  Works unchanged under within-face tiling (the vjp
+    routes cotangents through the ppermute/table transposes).
+    """
+    if d2 == 0.0 and cv == 0.0 and cc == 0.0:
+        return jnp.zeros_like(u), jnp.zeros_like(v)
+    h, n = m.halo, m.n
+    lead = u.ndim - 3
+
+    def circ_from_padded(up, vp):
+        z = (
+            up[..., :-1, :] - up[..., 1:, :]
+            + vp[..., :, 1:] - vp[..., :, :-1]
+        )
+        return z[..., h : h + n, h : h + n]
+
+    def F(uu, vv):
+        up, vp = halo_exchange_dgrid(uu, vv, h)
+        return (
+            _mass_div_from_padded(up, vp, m),
+            circ_from_padded(up, vp),
+            _div_b_from_padded(up, vp, m),
+        )
+
+    (div, z, db), vjp = jax.vjp(F, u, v)
+
+    # del-4 vorticity: one extra V^T / V pair on the intermediate
+    def V(uu, vv):
+        up, vp = halo_exchange_dgrid(uu, vv, h)
+        return circ_from_padded(up, vp)
+
+    du1, dv1 = jax.vjp(V, u, v)[1](z)
+    z2 = V(du1, dv1)
+
+    area = (1.0 / m.rarea).reshape(
+        m.rarea.shape[:1] + (1,) * lead + m.rarea.shape[1:]
+    )
+    if m.inv_corner_mult is not None:
+        im = m.inv_corner_mult
+        inv_mult = im.reshape(
+            im.shape[:1] + (1,) * lead + im.shape[1:]
+        ).astype(u.dtype)
+    else:
+        inv_mult = jnp.asarray(
+            1.0 / _corner_multiplicity(m.n), u.dtype
+        )
+    du, dv = vjp((
+        (-d2 * m.divdamp_scale) * div * area,
+        (-cv / 8.0) * z2,
+        (-cc) * db * inv_mult,
+    ))
+    return du, dv

@@ -130,6 +130,33 @@ def _scalar_affine_plan(n: int, h: int, fill: str):
     return plan
 
 
+# the affine slice/flip-compiled exchanges beat the flat gathers at
+# memcpy speed, but their per-face op trees make the whole-step HLO
+# large enough that the axon remote compile helper SIGABRTs at C192+
+# (measured r3).  Below this face size the affine form is used; above
+# it, the strip-gather form (identical outputs) keeps programs
+# compilable.
+AFFINE_MAX_N = 96
+
+
+def _halo_exchange_gather(field, h: int, fill: str):
+    """Strip-form flat-gather scalar exchange (pre-affine path; kept
+    for faces above AFFINE_MAX_N where the compiled affine program
+    overwhelms the remote compiler)."""
+    n = field.shape[-1]
+    south, north, west, east = _scalar_strip_tables(n, h, fill)
+    src = jnp.moveaxis(field, 0, -3)  # [..., 6, n, n]
+    flat = src.reshape(src.shape[:-3] + (6 * n * n,))
+
+    def take(tbl):
+        return jnp.take(flat, jnp.asarray(tbl), axis=-1)
+
+    s, nn_, w, e = take(south), take(north), take(west), take(east)
+    mid = jnp.concatenate([w, src, e], axis=-1)
+    out = jnp.concatenate([s, mid, nn_], axis=-2)
+    return jnp.moveaxis(out, -3, 0)
+
+
 def halo_exchange(field, h: int, fill: str = "none"):
     """Pad a cell-centered scalar [6, ..., n, n] with h halo cells.
 
@@ -142,9 +169,9 @@ def halo_exchange(field, h: int, fill: str = "none"):
 
     Implementation: interior is a pass-through; the halo ring is
     assembled from the gather tables COMPILED to slice/flip/transpose
-    copies (ops.affine_gather) -- bit-identical to the flat gather but
-    at memcpy speed (arbitrary-index gathers on the lane dim were the
-    dominant cost of the whole dycore substep at C192).
+    copies (ops.affine_gather) for n <= AFFINE_MAX_N -- bit-identical
+    to the flat gather at memcpy speed -- and as strip gathers above
+    (see AFFINE_MAX_N).
     """
     if _SPMD_TILING is not None:
         from ..parallel import tiling as _tl
@@ -157,6 +184,8 @@ def halo_exchange(field, h: int, fill: str = "none"):
     from ..ops import affine_gather as ag
 
     n = field.shape[-1]
+    if n > AFFINE_MAX_N:
+        return _halo_exchange_gather(field, h, fill)
     plan = _scalar_affine_plan(n, h, fill)
     srcs = ([field[g] for g in range(6)],)
     lead = field.shape[1:-2]
@@ -548,14 +577,53 @@ def _staggered_affine_plan(tables, h, rows_a, cols_a, rows_b, cols_b,
     )
 
 
+def _staggered_gather_exchange(a, b, tables, h, rows_a, cols_a,
+                               rows_b, cols_b, dtype):
+    """Strip-form flat-gather staggered exchange (pre-affine path for
+    faces above AFFINE_MAX_N)."""
+    asrc = jnp.moveaxis(a, 0, -3)
+    asrc_flat = asrc.reshape(asrc.shape[:-3] + (-1,))
+    bsrc = jnp.moveaxis(b, 0, -3)
+    bsrc_flat = bsrc.reshape(bsrc.shape[:-3] + (-1,))
+    pool = jnp.concatenate([asrc_flat, bsrc_flat], axis=-1)
+
+    def build(src, flat, sign, rows, cols):
+        flat = np.asarray(flat)
+        sign = np.asarray(sign)
+        r0, r1 = h, h + rows
+        c0, c1 = h, h + cols
+
+        def take(tf, ts):
+            return jnp.take(
+                pool, jnp.asarray(tf.astype(np.int32)), axis=-1
+            ) * jnp.asarray(ts, dtype)
+
+        s = take(flat[:, :r0, :], sign[:, :r0, :])
+        nn_ = take(flat[:, r1:, :], sign[:, r1:, :])
+        w = take(flat[:, r0:r1, :c0], sign[:, r0:r1, :c0])
+        e = take(flat[:, r0:r1, c1:], sign[:, r0:r1, c1:])
+        mid = jnp.concatenate([w, src, e], axis=-1)
+        return jnp.concatenate([s, mid, nn_], axis=-2)
+
+    (a_flat, a_sign), (b_flat, b_sign) = tables
+    ao = build(asrc, a_flat, a_sign, rows_a, cols_a)
+    bo = build(bsrc, b_flat, b_sign, rows_b, cols_b)
+    return jnp.moveaxis(ao, -3, 0), jnp.moveaxis(bo, -3, 0)
+
+
 def _staggered_strip_exchange(a, b, tables, h, rows_a, cols_a, rows_b,
                               cols_b, dtype, plan=None):
     """Shared implementation for C/D-grid pair exchanges: the halo ring
     of each padded array is assembled from the gather tables COMPILED
     to slice/flip/transpose copies (ops.affine_gather; bit-identical to
-    the flat gather, memcpy speed)."""
+    the flat gather, memcpy speed) for faces up to AFFINE_MAX_N, and
+    as strip gathers above (remote-compiler size limit)."""
     from ..ops import affine_gather as ag
 
+    if max(cols_a, cols_b) - 1 > AFFINE_MAX_N:
+        return _staggered_gather_exchange(
+            a, b, tables, h, rows_a, cols_a, rows_b, cols_b, dtype
+        )
     if plan is None:
         plan = _staggered_affine_plan(
             tables, h, rows_a, cols_a, rows_b, cols_b, a.shape[-1]

@@ -58,6 +58,7 @@ class GFSPhysicsConfig:
     k_background: float = 0.1   # free-atmosphere diffusivity (m^2/s)
     k_max: float = 800.0        # diffusivity cap (m^2/s)
     tau_bm: float = 7200.0      # Betts-Miller relaxation time (s)
+    convection_scheme: str = "betts_miller"  # or "mass_flux" (SAS-like)
     rh_bm: float = 0.8          # BM reference relative humidity
     tau_autoconv: float = 1800.0  # cloud->rain autoconversion time (s)
     evap_rain: float = 2.0e-5   # rain re-evaporation efficiency
@@ -470,7 +471,14 @@ def gfs_physics_step(
 
     precip_conv = jnp.zeros(shape2d, t.dtype)
     if cfg.do_convection:
-        t, qv, precip_conv = betts_miller(t, qv, p, delp, dt, cfg)
+        if cfg.convection_scheme == "mass_flux":
+            from .convection import sas_mass_flux
+
+            t, qv, precip_conv = sas_mass_flux(
+                t, qv, p, pe, delp, dt
+            )
+        else:
+            t, qv, precip_conv = betts_miller(t, qv, p, delp, dt, cfg)
 
     precip_ls = jnp.zeros(shape2d, t.dtype)
     if cfg.do_microphysics:
