@@ -235,18 +235,10 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     nonhydro = ev.w is not None
 
     up, vp = halo_exchange_dgrid(u, v, h)
-    # one STACKED exchange per fill for all cell-centered prognostics
-    # (traffic-equal to per-field exchanges but one kernel family and
-    # shared table applications; big-array passes dominate at C192+)
-    cell_fields = [delp, pt] + ([ev.w, ev.delz] if nonhydro else [])
-    stacked = jnp.stack(cell_fields, axis=1)
-    stx = halo_exchange(stacked, h, fill="x")
-    sty = halo_exchange(stacked, h, fill="y")
-    dpx, ptx = stx[:, 0], stx[:, 1]
-    dpy, pty = sty[:, 0], sty[:, 1]
-    if nonhydro:
-        wx, dzx = stx[:, 2], stx[:, 3]
-        wy, dzy = sty[:, 2], sty[:, 3]
+    dpx = halo_exchange(delp, h, fill="x")
+    dpy = halo_exchange(delp, h, fill="y")
+    ptx = halo_exchange(pt, h, fill="x")
+    pty = halo_exchange(pt, h, fill="y")
 
     # C-face contravariant winds, canonical (see sw.c_grid_winds)
     uc_A, vc_A = c_grid_winds(up, vp, m)
@@ -263,58 +255,65 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     xfx = uc * dt * m.dy_fs[:, None]
     yfx = vc * dt * m.dx_fs[:, None]
 
-    # mass + volume transports STACKED: (delp, delz) share the
-    # (crx, xfx, area) signature; then (pt, w) share the mass-flux
-    # signature.  Per-slice math is identical to separate calls.
-    interior = np.s_[:, :, :, h : h + n, h : h + n]
-    if nonhydro:
-        adx = jnp.stack([dpx, dzx], axis=1)
-        ady = jnp.stack([dpy, dzy], axis=1)
-    else:
-        adx, ady = dpx[:, None], dpy[:, None]
-    fxa, fya = fv_tp_2d(
-        adx, ady, crx[:, None], cry[:, None], xfx[:, None],
-        yfx[:, None], m.area_px[:, None, None],
-        m.area_py[:, None, None], hord,
+    # mass fluxes and transport of delp
+    fx, fy = fv_tp_2d(
+        dpx, dpy, crx, cry, xfx, yfx, m.area_px[:, None],
+        m.area_py[:, None], hord,
     )
-    diva = (fxa - _shx(fxa, 1)) + (fya - _shy(fya, 1))
-    diva = diva[interior] * m.rarea[:, None, None]
-    delp_new = base.delp + diva[:, 0]
-    fx, fy = fxa[:, 0], fya[:, 0]
+    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
+    delp_new = base.delp + div[
+        :, :, h : h + n, h : h + n
+    ] * m.rarea[:, None]
 
-    # mass-weighted transports (pt, w) with the delp fluxes; the
-    # Lin-Rood inner update divides by the transversely updated AIR
-    # MASS (area * delp)
-    if nonhydro:
-        bdx = jnp.stack([ptx, wx], axis=1)
-        bdy = jnp.stack([pty, wy], axis=1)
-    else:
-        bdx, bdy = ptx[:, None], pty[:, None]
-    fxb, fyb = fv_tp_2d(
-        bdx, bdy, crx[:, None], cry[:, None], fx[:, None],
-        fy[:, None], (m.area_px[:, None] * dpx)[:, None],
-        (m.area_py[:, None] * dpy)[:, None], hord,
+    # potential temperature: mass-weighted transport with the delp
+    # fluxes; the Lin-Rood inner update divides by the transversely
+    # updated AIR MASS (area * delp), which must be dimensionally
+    # consistent with the fluxes.  NOTE: stacking the four transports /
+    # four filters into batched calls (tried r3) is traffic-equal on
+    # paper but SLOWER in practice (C48 68 -> 90 ms/step) and blows the
+    # remote compiler up at C192 -- XLA's 2D stencil fusions break
+    # across the stacked axis.  Keep the per-field calls.
+    fxt, fyt = fv_tp_2d(
+        ptx, pty, crx, cry, fx, fy,
+        m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
     )
-    divb = (fxb - _shx(fxb, 1)) + (fyb - _shy(fyb, 1))
-    divb = divb[interior] * m.rarea[:, None, None]
-    ptdp = base.pt * base.delp + divb[:, 0]
-
-    # conservative dissipative 2-delta filter on the mass field and the
-    # mass-weighted prognostics (sw.scalar_filter), all in ONE stacked
-    # call (the L operator's metric weights are read once).  Skipped in
-    # the midpoint half stage (d2_damp == 0).
+    divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
+    ptdp = (
+        base.pt * base.delp
+        + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+    )
     fc = FILTER_COEF if d2_damp != 0.0 else 0.0
-    to_filter = [delp_new, ptdp]
+    delp_new = scalar_filter(delp_new, m, fc)
+    pt_new = scalar_filter(ptdp, m, fc) / delp_new
+
     if nonhydro:
-        wdp = base.w * base.delp + divb[:, 1]
-        dz_raw = base.delz + diva[:, 1]
-        to_filter += [wdp, dz_raw]
-    filt = scalar_filter(jnp.stack(to_filter, axis=1), m, fc)
-    delp_new = filt[:, 0]
-    pt_new = filt[:, 1] / delp_new
-    if nonhydro:
-        w_adv = filt[:, 2] / delp_new
-        dz_adv = filt[:, 3]
+        # w: mass-weighted transport (like pt); delz: volume-form
+        # transport with the area fluxes (conserves total volume)
+        wx = halo_exchange(ev.w, h, fill="x")
+        wy = halo_exchange(ev.w, h, fill="y")
+        fxw, fyw = fv_tp_2d(
+            wx, wy, crx, cry, fx, fy,
+            m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
+        )
+        divw = (fxw - _shx(fxw, 1)) + (fyw - _shy(fyw, 1))
+        w_adv = scalar_filter(
+            base.w * base.delp
+            + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None],
+            m, fc,
+        ) / delp_new
+        dzx = halo_exchange(ev.delz, h, fill="x")
+        dzy = halo_exchange(ev.delz, h, fill="y")
+        fxz, fyz = fv_tp_2d(
+            dzx, dzy, crx, cry, xfx, yfx,
+            m.area_px[:, None], m.area_py[:, None], hord,
+        )
+        divz = (fxz - _shx(fxz, 1)) + (fyz - _shy(fyz, 1))
+        dz_adv = scalar_filter(
+            base.delz + divz[
+                :, :, h : h + n, h : h + n
+            ] * m.rarea[:, None],
+            m, fc,
+        )
 
     # vorticity fluxes (advective) for the wind update
     udx = u * m.dx_u[:, None, h : h + n + 1, h : h + n]
@@ -445,10 +444,19 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     # applying the non-dt-scaled dampers per stage would both double
     # their strength and double the compile graph) -------------------------
     if d2_damp != 0.0:
-        du_damp, dv_damp = combined_wind_damping(
-            base.u, base.v, m, d2_damp, VORT_DAMP_COEF,
-            CORNER_DAMP_COEF,
+        # NOTE: a combined single-vjp form of the three dampers
+        # (sw.combined_wind_damping) halves the exchange chains but is
+        # an XLA-compile pathology: 672 s to compile standalone at
+        # C192 and SIGABRTs the remote compile helper when embedded in
+        # the full step (measured r3).  The three separate vjps compile
+        # in seconds; keep them.
+        du_damp, dv_damp = div_damp(base.u, base.v, m, d2_damp)
+        du_vd, dv_vd = vort_damp(base.u, base.v, m, VORT_DAMP_COEF)
+        du_cd, dv_cd = corner_div_damp(
+            base.u, base.v, m, CORNER_DAMP_COEF
         )
+        du_damp = du_damp + du_vd + du_cd
+        dv_damp = dv_damp + dv_vd + dv_cd
     else:
         du_damp = jnp.zeros_like(base.u)
         dv_damp = jnp.zeros_like(base.v)

@@ -833,6 +833,8 @@ def average_dgrid_boundary(u, v):
 
         return _hs.average_dgrid_boundary_local(u, v, _SPMD_AXIS)
     n = u.shape[-1]
+    if n > AFFINE_MAX_N:
+        return _average_dgrid_boundary_gather(u, v)
     plan_u, plan_v = _avg_affine_plans(n)
     srcs = ([u[g] for g in range(6)], [v[g] for g in range(6)])
 
@@ -842,6 +844,33 @@ def average_dgrid_boundary(u, v):
     uo = _apply_boundary_strips(u, srcs, plan_u, combine)
     vo = _apply_boundary_strips(v, srcs, plan_v, combine)
     return uo, vo
+
+
+def _average_dgrid_boundary_gather(u, v):
+    n = u.shape[-1]
+    (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask) = (
+        _dgrid_boundary_pair_tables(n)
+    )
+    usrc = jnp.moveaxis(u, 0, -3)
+    vsrc = jnp.moveaxis(v, 0, -3)
+    pool = jnp.concatenate(
+        [
+            usrc.reshape(usrc.shape[:-3] + (-1,)),
+            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
+        ],
+        axis=-1,
+    )
+
+    def apply(src, idx, sign, mask):
+        partner = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
+            sign, src.dtype
+        )
+        avg = 0.5 * (src + partner)
+        return jnp.where(jnp.asarray(mask), avg, src)
+
+    uo = apply(usrc, u_idx, u_sign, u_mask)
+    vo = apply(vsrc, v_idx, v_sign, v_mask)
+    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
 
 
 def canonicalize_cgrid_boundary(uc, vc):
@@ -860,6 +889,8 @@ def canonicalize_cgrid_boundary(uc, vc):
 
         return _hs.canonicalize_cgrid_boundary_local(uc, vc, _SPMD_AXIS)
     n = uc.shape[-2]
+    if n > AFFINE_MAX_N:
+        return _canonicalize_cgrid_boundary_gather(uc, vc)
     plan_u, plan_v = _canon_affine_plans(n)
     srcs = ([uc[g] for g in range(6)], [vc[g] for g in range(6)])
 
@@ -869,6 +900,32 @@ def canonicalize_cgrid_boundary(uc, vc):
     uo = _apply_boundary_strips(uc, srcs, plan_u, combine)
     vo = _apply_boundary_strips(vc, srcs, plan_v, combine)
     return uo, vo
+
+
+def _canonicalize_cgrid_boundary_gather(uc, vc):
+    n = uc.shape[-2]
+    (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep) = (
+        _cgrid_boundary_canon_tables(n)
+    )
+    usrc = jnp.moveaxis(uc, 0, -3)
+    vsrc = jnp.moveaxis(vc, 0, -3)
+    pool = jnp.concatenate(
+        [
+            usrc.reshape(usrc.shape[:-3] + (-1,)),
+            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
+        ],
+        axis=-1,
+    )
+
+    def apply(src, idx, coef, rep):
+        repl = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
+            coef, src.dtype
+        )
+        return jnp.where(jnp.asarray(rep), repl, src)
+
+    uo = apply(usrc, uc_idx, uc_coef, uc_rep)
+    vo = apply(vsrc, vc_idx, vc_coef, vc_rep)
+    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
 
 
 def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
