@@ -76,26 +76,49 @@ def condensate_paths(delp, ql, qi):
 
 @dataclasses.dataclass(frozen=True)
 class AerosolClimatology:
-    """Single-mode climatological aerosol (AerosolClass role,
-    radiation_aerosols.py): exponential profile with a fixed column
-    optical depth at 550 nm, Angstrom scaling across SW bands."""
+    """Climatological aerosol (AerosolClass role,
+    radiation_aerosols.py): latitude- and season-dependent 550 nm
+    column optical depth (maritime background + NH continental/dust
+    belt with a boreal-summer peak), an exponential vertical profile,
+    and Angstrom scaling across SW bands."""
 
-    aod550: float = 0.12
+    aod550: float = 0.12  # global fallback when no lat/doy given
     scale_height_pa: float = 2.0e4  # e-folding depth in pressure
     ssa: float = 0.95
     asy: float = 0.70
     # per-SW-band scaling of the 550nm AOD (Angstrom exponent ~1.3)
     band_scale: tuple = (2.1, 1.0, 0.55, 0.33, 0.21, 0.13)
+    # lat/season climatology (radiation_aerosols climatology role)
+    aod_background: float = 0.06  # clean maritime
+    aod_belt: float = 0.22  # NH dust/pollution belt amplitude
+    belt_lat: float = 25.0  # deg N
+    belt_width: float = 18.0  # deg
+    belt_season_amp: float = 0.5  # +/- fraction, peak ~day 182
 
-    def sw_optics(self, p_lay, delp):
+    def aod550_field(self, lat_deg, doy):
+        """Column AOD at 550 nm per cell from the latitude belt +
+        seasonal cycle (the data-table climatology of
+        radiation_aerosols.py collapsed to its leading modes)."""
+        lat = jnp.asarray(lat_deg)
+        belt = self.aod_belt * jnp.exp(
+            -0.5 * ((lat - self.belt_lat) / self.belt_width) ** 2
+        )
+        season = 1.0 + self.belt_season_amp * jnp.cos(
+            2.0 * jnp.pi * (doy - 182.0) / 365.25
+        )
+        return self.aod_background + belt * season
+
+    def sw_optics(self, p_lay, delp, aod550=None):
         """Per-layer aerosol (tau[band, nz, ...cols], ssa, asy).
 
-        Level axis is axis 0 (solver convention, TOA first)."""
+        Level axis is axis 0 (solver convention, TOA first); aod550
+        optionally a per-column field (aod550_field)."""
         psfc = delp.sum(axis=0, keepdims=True)
         shape_prof = jnp.exp(-(psfc - p_lay) / self.scale_height_pa)
         wt = shape_prof * delp
         wt = wt / jnp.maximum(wt.sum(axis=0, keepdims=True), 1e-30)
-        tau550 = self.aod550 * wt
+        aod = self.aod550 if aod550 is None else aod550
+        tau550 = aod * wt
         scale = jnp.asarray(self.band_scale)
         tau = scale.reshape(
             (len(self.band_scale),) + (1,) * tau550.ndim

@@ -122,32 +122,39 @@ class MultibandRadiationDriver:
     facade and `RadiationStepper` drive either scheme.
     """
 
-    def __init__(self, albedo: float = 0.12, co2_ppmv: float = 420.0):
+    def __init__(self, albedo: float = None, co2_ppmv: float = 420.0):
         import jax
 
         from . import radlw, radsw
         from .radgases import GasConcentrations, default_o3_profile
 
+        # albedo=None (default): the zenith/type/snow-dependent scheme
+        # (radsurface.surface_albedo, the setalb role); a float pins a
+        # constant albedo (legacy behavior, used by oracle tests)
         self.albedo = albedo
         gases = GasConcentrations(co2_ppmv=co2_ppmv)
         self._sw = radsw.RadSWClass(gases=gases)
         self._lw = radlw.RadLWClass(gases=gases)
         self._o3 = default_o3_profile
         self._solcon = SOLAR_CONSTANT
+        self._doy = 1.0
         self._jit = jax.jit(self._compute)
 
     def radupdate(self, time: datetime.datetime):
-        """(radiation_driver.py:209): annual solar-constant cycle."""
+        """(radiation_driver.py:209): annual solar-constant cycle +
+        the aerosol climatology's seasonal phase."""
         doy = time.timetuple().tm_yday
+        self._doy = float(doy)
         self._solcon = SOLAR_CONSTANT * (
             1.0 + 0.034 * np.cos(2 * np.pi * (doy - 3) / 365.25)
         )
 
     def _compute(self, cosz, p_lay, delp, temp, sphum, ql, qi, tsfc,
-                 solcon):
+                 solcon, lat_deg, doy, land_mask, snow):
         import jax.numpy as jnp
 
         from .radclouds import cloud_fraction_from_rh
+        from .radsurface import surface_albedo, surface_emissivity
         from ..utils.thermo import relative_humidity_from_pressure
 
         o3 = self._o3(p_lay)
@@ -157,14 +164,24 @@ class MultibandRadiationDriver:
         def cols(x):  # [6, nz, n, n] -> [nz, 6, n, n]
             return jnp.moveaxis(x, 1, 0)
 
+        if self.albedo is None:
+            alb = surface_albedo(
+                jnp.maximum(cosz, 0.0), land_mask, snow
+            )
+            emis = surface_emissivity(land_mask, snow)
+        else:
+            alb = jnp.full_like(tsfc, self.albedo)
+            emis = 0.98
+        aod = self._sw.aerosols.aod550_field(lat_deg, doy)
         sw = self._sw(
             jnp.maximum(cosz, 0.0), cols(p_lay), cols(delp),
             cols(sphum), cols(o3), cols(ql), cols(qi), cols(cf),
-            jnp.full_like(tsfc, self.albedo), solcon,
+            alb, solcon, aod550=aod,
         )
         lw = self._lw(
             cols(p_lay), cols(delp), cols(temp), cols(sphum),
             cols(o3), cols(ql), cols(qi), cols(cf), tsfc,
+            sfc_emissivity=emis,
         )
 
         def rows(x):  # [nz(+1), 6, n, n] -> [6, nz(+1), n, n]
@@ -189,10 +206,12 @@ class MultibandRadiationDriver:
 
     def gfs_radiation_driver(
         self, time, lon_deg, lat_deg, p_lay, delp, temp, sphum, tsfc,
-        ql=None, qi=None,
+        ql=None, qi=None, land_mask=None, snow=None,
     ) -> Mapping[str, np.ndarray]:
         """(radiation_driver.py:354). Fields [6, nz, n, n]; lon/lat/
-        tsfc [6, n, n]; ql/qi optional condensate mixing ratios."""
+        tsfc [6, n, n]; ql/qi optional condensate mixing ratios;
+        land_mask (1=land)/snow (kg/m^2 SWE) feed the surface
+        albedo/emissivity scheme (radsurface)."""
         import jax.numpy as jnp
 
         cosz = np.maximum(cos_zenith_angle(time, lon_deg, lat_deg), 0.0)
@@ -200,11 +219,17 @@ class MultibandRadiationDriver:
             ql = np.zeros_like(sphum)
         if qi is None:
             qi = np.zeros_like(sphum)
+        if land_mask is None:
+            land_mask = np.zeros_like(tsfc)
+        if snow is None:
+            snow = np.zeros_like(tsfc)
         out = self._jit(
             jnp.asarray(cosz), jnp.asarray(p_lay), jnp.asarray(delp),
             jnp.asarray(temp), jnp.asarray(sphum), jnp.asarray(ql),
             jnp.asarray(qi), jnp.asarray(tsfc),
-            jnp.asarray(self._solcon),
+            jnp.asarray(self._solcon), jnp.asarray(lat_deg),
+            jnp.asarray(self._doy), jnp.asarray(land_mask),
+            jnp.asarray(snow),
         )
         return {k: np.asarray(v) for k, v in out.items()}
 

@@ -149,7 +149,7 @@ class RadSWClass:
     )
 
     def __call__(self, mu0, p_lay, delp, sphum, o3mmr, ql, qi, cldfrac,
-                 sfc_albedo, solcon=SOLAR_CONSTANT):
+                 sfc_albedo, solcon=SOLAR_CONSTANT, aod550=None):
         """All-sky SW fluxes and heating.
 
         Shapes: column fields [nz, ...cols]; mu0/sfc_albedo [...cols].
@@ -171,7 +171,9 @@ class RadSWClass:
             + bc(radgases.SW_K_CO2) * u_co2
         )
         tau_ray = bc(radgases.SW_TAU_RAYLEIGH) * (delp / 101325.0)
-        tau_aer, w_aer, g_aer = self.aerosols.sw_optics(p_lay, delp)
+        tau_aer, w_aer, g_aer = self.aerosols.sw_optics(
+            p_lay, delp, aod550=aod550
+        )
         cwp_l, cwp_i = radclouds.condensate_paths(delp, ql, qi)
         # effective (random-overlap) cloud optics: tau scaled by
         # cldfrac^(3/2) — the standard effective-optical-depth closure

@@ -293,3 +293,120 @@ def test_lw_heating_cools_clear_atmosphere():
     # uniform-delp column is unphysical near the model top, where the
     # crude band model cools hard; exclude the top two layers)
     assert (np.abs(hr[2:]) < 20.0).all()
+
+
+# ----------------------------------------------------------------------
+# Surface albedo/emissivity + aerosol climatology (VERDICT r2 item 6:
+# radiation_surface.py / radiation_aerosols.py / radupdate roles)
+# ----------------------------------------------------------------------
+
+
+def test_ocean_albedo_briegleb_limits():
+    from fv3net_tpu.physics.radsurface import ocean_albedo
+
+    hi = float(ocean_albedo(jnp.asarray(1.0)))
+    # Briegleb closed form at mu=1: 0.026/1.065 + 0 = 0.0244
+    assert abs(hi - 0.026 / 1.065) < 1e-6
+    lo = float(ocean_albedo(jnp.asarray(0.05)))
+    assert lo > 0.2, "grazing sun must brighten the ocean"
+    mid = float(ocean_albedo(jnp.asarray(0.5)))
+    assert hi < mid < lo
+
+
+def test_surface_albedo_snow_and_type_blending():
+    from fv3net_tpu.physics.radsurface import (
+        surface_albedo,
+        surface_emissivity,
+    )
+
+    cosz = jnp.asarray([0.8, 0.8, 0.8])
+    land = jnp.asarray([0.0, 1.0, 1.0])
+    snow = jnp.asarray([0.0, 0.0, 50.0])
+    alb = np.asarray(surface_albedo(cosz, land, snow))
+    assert alb[0] < 0.08  # high-sun ocean
+    assert abs(alb[1] - 0.2) < 1e-6  # snow-free land base
+    assert alb[2] > 0.6  # deep snow
+    emis = np.asarray(surface_emissivity(land, snow))
+    assert abs(emis[0] - 0.984) < 1e-6
+    assert abs(emis[1] - 0.95) < 1e-6
+    assert emis[2] > 0.985
+
+
+def test_aerosol_climatology_belt_and_season():
+    from fv3net_tpu.physics.radclouds import AerosolClimatology
+
+    aer = AerosolClimatology()
+    lat = jnp.asarray([-45.0, 0.0, 25.0])
+    july = np.asarray(aer.aod550_field(lat, 182.0))
+    jan = np.asarray(aer.aod550_field(lat, 1.0))
+    # NH belt peak dominates both hemispheres and the equator
+    assert july[2] > july[1] > july[0] - 1e-9
+    # boreal-summer maximum of the belt
+    assert july[2] > jan[2]
+    # clean-maritime floor everywhere
+    assert (july >= aer.aod_background - 1e-9).all()
+
+
+def test_aerosol_direct_effect_dims_surface_sw():
+    """Clear-sky overhead-sun SW with aerosols vs without: the direct
+    effect must reduce surface downwelling by an amount consistent
+    with the prescribed optical depth (RADIATION_VALIDATION.md entry)."""
+    from fv3net_tpu.physics.radsw import RadSWClass
+
+    nz = 20
+    pe = np.linspace(100e2, 1000e2, nz + 1)
+    delp = jnp.asarray(np.diff(pe)[:, None])
+    p_lay = jnp.asarray((0.5 * (pe[1:] + pe[:-1]))[:, None])
+    zeros = jnp.zeros((nz, 1))
+    sphum = jnp.full((nz, 1), 1e-3)
+    o3 = jnp.full((nz, 1), 1e-8)
+    mu0 = jnp.asarray([1.0])
+    alb = jnp.asarray([0.1])
+    sw = RadSWClass()
+    out0 = sw(mu0, p_lay, delp, sphum, o3, zeros, zeros, zeros, alb,
+              aod550=jnp.asarray([0.0]))
+    out1 = sw(mu0, p_lay, delp, sphum, o3, zeros, zeros, zeros, alb,
+              aod550=jnp.asarray([0.5]))
+    f0 = float(out0["sfc_dn"][0])
+    f1 = float(out1["sfc_dn"][0])
+    assert f1 < f0, "aerosols must dim the surface"
+    # magnitude sanity: 3-30% reduction for AOD 0.5 with ssa 0.95
+    assert 0.03 < (f0 - f1) / f0 < 0.35
+
+
+def test_driver_snow_and_land_change_surface_budget():
+    from fv3net_tpu.physics.radiation import MultibandRadiationDriver
+    import datetime
+
+    n, nz = 4, 12
+    pe = np.linspace(100e2, 1000e2, nz + 1)
+    delp = np.broadcast_to(
+        np.diff(pe)[None, :, None, None], (6, nz, n, n)
+    ).copy()
+    p_lay = np.broadcast_to(
+        (0.5 * (pe[1:] + pe[:-1]))[None, :, None, None],
+        (6, nz, n, n),
+    ).copy()
+    temp = np.full((6, nz, n, n), 270.0)
+    sphum = np.full((6, nz, n, n), 1e-3)
+    tsfc = np.full((6, n, n), 280.0)
+    lat = np.zeros((6, n, n))
+    lon = np.zeros((6, n, n))
+    drv = MultibandRadiationDriver()
+    drv.radupdate(datetime.datetime(2016, 7, 1, 12))
+    time = datetime.datetime(2016, 7, 1, 12)
+    base = drv.gfs_radiation_driver(
+        time, lon, lat, p_lay, delp, temp, sphum, tsfc
+    )
+    snowy = drv.gfs_radiation_driver(
+        time, lon, lat, p_lay, delp, temp, sphum, tsfc,
+        land_mask=np.ones((6, n, n)),
+        snow=np.full((6, n, n), 50.0),
+    )
+    day = base[
+        "total_sky_downward_shortwave_flux_at_surface"
+    ] > 1.0
+    assert day.any()
+    net0 = base["total_sky_net_shortwave_flux_at_surface"][day]
+    net1 = snowy["total_sky_net_shortwave_flux_at_surface"][day]
+    assert (net1 < net0).all(), "snow must absorb less SW"
