@@ -61,20 +61,33 @@ class Stepper(Protocol):
         ...
 
 
+def _xp(arr):
+    """numpy for host arrays, jnp for device arrays -- the coupling hot
+    path must not round-trip device state through numpy (SURVEY hard
+    part 6; on the tunneled TPU every np.asarray is a device->host
+    transfer)."""
+    import jax
+
+    if isinstance(arr, jax.Array):
+        import jax.numpy as jnp
+
+        return jnp
+    return np
+
+
 def add_tendency(state, tendencies: Tendencies, dt: float) -> State:
     """Apply tendency dict entries named per TENDENCY_TO_STATE_NAME
     (runtime/loop.py:202), returning the updated variables (not applied
-    to the model yet)."""
+    to the model yet).  Stays in the state's own array namespace
+    (device arrays never materialize to host here)."""
     updated = {}
     for tname, tq in tendencies.items():
         if tname not in names.TENDENCY_TO_STATE_NAME:
             continue
         sname = names.TENDENCY_TO_STATE_NAME[tname]
         current = state[sname]
-        data = current.values + np.asarray(tq.data) * dt
-        updated[sname] = current.with_data(
-            np.nan_to_num(data, copy=False)
-        )
+        data = current.data + tq.data * dt
+        updated[sname] = current.with_data(_xp(data).nan_to_num(data))
     return updated
 
 
@@ -84,11 +97,12 @@ def fillna_tendencies(tendencies: Tendencies):
     filled = {}
     diags = {}
     for name, q in tendencies.items():
-        arr = np.asarray(q.data)
-        isnan = np.isnan(arr)
-        filled[name] = q.with_data(np.where(isnan, 0.0, arr))
+        arr = q.data
+        xp = _xp(arr)
+        isnan = xp.isnan(arr)
+        filled[name] = q.with_data(xp.where(isnan, 0.0, arr))
         diags[f"{name}_filled_frac"] = Quantity(
-            np.asarray(isnan.mean()), (), ""
+            xp.asarray(isnan.mean()), (), ""
         )
     return filled, diags
 
@@ -107,12 +121,14 @@ class Monitor:
 
     def __call__(self, step: Callable[[], Diagnostics]):
         def wrapped() -> Diagnostics:
-            before = {v: self.state[v].values for v in self.variables}
-            delp_before = self.state[names.DELP].values
+            # raw .data: device state stays on device; host arrays stay
+            # host.  Materialization happens only at diagnostic sinks.
+            before = {v: self.state[v].data for v in self.variables}
+            delp_before = self.state[names.DELP].data
             diags = dict(step() or {})
-            delp_after = self.state[names.DELP].values
+            delp_after = self.state[names.DELP].data
             for v in self.variables:
-                after = self.state[v].values
+                after = self.state[v].data
                 tend = (after - before[v]) / self.dt
                 key = f"tendency_of_{v}_due_to_{self.name}"
                 diags[key] = Quantity(tend, ("tile", "z", "y", "x"), "")
@@ -167,8 +183,8 @@ class TimeLoop:
     # --- substeps ---------------------------------------------------------
 
     def _compute_column_integrated_tracers(self) -> Diagnostics:
-        delp = self.state[names.DELP].values
-        q = self.state[names.SPHUM].values
+        delp = self.state[names.DELP].data
+        q = self.state[names.SPHUM].data
         wp = (q * delp / GRAV).sum(axis=1)
         return {
             "water_vapor_path": Quantity(wp, ("tile", "y", "x"),

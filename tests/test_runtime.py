@@ -228,3 +228,27 @@ def test_add_tendency_fills_nans(model):
     assert diags["dQ1_filled_frac"].values == 1.0
     out = add_tendency(state, filled, 600.0)
     np.testing.assert_allclose(out[names.TEMP].values, t.values)
+
+
+def test_coupling_hot_path_stays_on_device(model):
+    """TPU-first coupling (SURVEY hard part 6, VERDICT r2 item 7): one
+    TimeLoop step must carry the monitored tendencies and tendency
+    application as device (jax) arrays end-to-end -- host
+    materialization only at diagnostic sinks (.values)."""
+    import jax
+
+    state = DerivedModelState(wrapper)
+    stepper = PureMLStepper(ConstantTendencyModel(), dt=600.0)
+    loop = TimeLoop(
+        wrapper, state, dt=600.0, postphysics_stepper=stepper, n_steps=1
+    )
+    _, diags = next(iter(loop))
+    # the dynamics monitor difference chain never left the device
+    tend = diags["tendency_of_air_temperature_due_to_fv3_dynamics"]
+    assert isinstance(tend.data, jax.Array), type(tend.data)
+    path = diags["storage_of_air_temperature_path_due_to_fv3_dynamics"]
+    assert isinstance(path.data, jax.Array)
+    # the model's own prognostic state is handed out as device arrays
+    st = wrapper.get_state([names.TEMP, names.DELP])
+    assert isinstance(st[names.DELP].data, jax.Array)
+    assert isinstance(st[names.TEMP].data, jax.Array)
