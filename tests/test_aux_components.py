@@ -269,3 +269,46 @@ def test_segmented_run_emits_timing_and_scalars(tmp_path):
     assert len(lines) >= 2
     rec = json.loads(lines[0])
     assert set(rec) == {"step", "time", "name", "value"}
+
+
+def test_catalog_grid_and_mask_entries():
+    """vcm.catalog role (catalog.py:1-7): grids and masks resolve by
+    key; user stores register from code or YAML."""
+    import numpy as np
+
+    from fv3net_tpu.utils.catalog import Catalog, catalog
+
+    g = catalog["grid/c12"].read()
+    assert g["area"].shape == (6, 12, 12)
+    assert np.isfinite(g["area"]).all() and (g["area"] > 0).all()
+    m = catalog["landseamask/c12"].read()["land_sea_mask"]
+    assert m.shape == (6, 12, 12)
+    assert 0.05 < m.mean() < 0.7  # some land, some sea
+    assert "grid/c48" in catalog
+    assert "grid/c48" in catalog.keys()
+    import pytest
+
+    with pytest.raises(KeyError):
+        catalog["nonexistent/entry"]
+
+
+def test_catalog_registered_zarr_and_yaml(tmp_path):
+    import numpy as np
+    import yaml
+
+    from fv3net_tpu.io.zarr_lite import ZarrLiteStore
+    from fv3net_tpu.utils.catalog import Catalog
+
+    store = ZarrLiteStore(str(tmp_path / "x.zarr"))
+    arr = np.arange(24.0).reshape(4, 6).astype(np.float32)
+    store.create_array("foo", shape=arr.shape, chunks=arr.shape,
+                       dtype=np.float32, dims=("a", "b"))
+    store.write_full("foo", arr)
+    cat = Catalog()
+    spec = {"runs/test": {"kind": "zarr",
+                          "path": str(tmp_path / "x.zarr")}}
+    with open(tmp_path / "cat.yml", "w") as f:
+        yaml.safe_dump(spec, f)
+    cat.load_yaml(str(tmp_path / "cat.yml"))
+    out = cat["runs/test"].read()
+    np.testing.assert_array_equal(out["foo"], arr)
