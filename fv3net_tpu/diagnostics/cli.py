@@ -164,6 +164,51 @@ def movies_cmd(url: str, output: str, variables=None,
     return out
 
 
+def offline_cmd(model_path: str, data_yaml: str, output: str,
+                no_jacobian: bool = False) -> Dict[str, float]:
+    """Evaluate a dumped Predictor against a mapper's test split
+    (workflows/diagnostics/fv3net/diagnostics/offline/compute.py main).
+
+    data_yaml schema::
+
+        mapper_function: open_nudge_to_fine      # data registry name
+        mapper_kwargs: {url: /path/to/run}
+        timesteps: [ ... ]                       # optional test split
+        grid: {resolution: 48}                   # optional; default
+                                                 # inferred from data
+    """
+    import yaml
+
+    from ..data import mapper_functions
+    from ..grid import CubedSphereGrid
+    from .offline import evaluate
+
+    with open(data_yaml) as f:
+        spec = yaml.safe_load(f)
+    fn = mapper_functions[spec["mapper_function"]]
+    mapper = fn(**spec.get("mapper_kwargs", {}))
+    times = spec.get("timesteps")
+    n = spec.get("grid", {}).get("resolution")
+    if n is None:
+        sample = mapper[sorted(mapper.keys())[0]]
+        n = next(
+            np.asarray(q.values).shape[-1] for q in sample.values()
+        )
+    g = CubedSphereGrid.make(int(n), halo=3)
+    sl = g.interior
+    grid = {
+        "area": np.asarray(g.area[sl]),
+        "lat": np.asarray(g.lat[sl]),
+        "lon": np.asarray(g.lon[sl]),
+    }
+    metrics = evaluate(
+        model_path, mapper, grid, output, times=times,
+        jacobian=not no_jacobian,
+    )
+    print(json.dumps(metrics, indent=2, sort_keys=True))
+    return metrics
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="prognostic_run_diags")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -188,6 +233,14 @@ def main(argv=None) -> int:
     p.add_argument("--variables", nargs="*", default=None)
     p.add_argument("--max-frames", type=int, default=120)
 
+    p = sub.add_parser(
+        "offline", help="evaluate a trained model against a mapper"
+    )
+    p.add_argument("model_path", help="dumped Predictor directory")
+    p.add_argument("data_yaml", help="mapper spec YAML")
+    p.add_argument("-o", "--output", default="offline_diags")
+    p.add_argument("--no-jacobian", action="store_true")
+
     args = parser.parse_args(argv)
     if args.command == "compute":
         path = compute_cmd(args.url, args.output, args.dt_hours,
@@ -201,6 +254,9 @@ def main(argv=None) -> int:
         out = movies_cmd(args.url, args.output, args.variables,
                          args.max_frames)
         print(json.dumps({k: v for k, v in out.items()}, indent=2))
+    elif args.command == "offline":
+        offline_cmd(args.model_path, args.data_yaml, args.output,
+                    args.no_jacobian)
     return 0
 
 
