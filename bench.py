@@ -121,31 +121,56 @@ def _build_config(n, nz, jax, jnp, remat=False, dt_atmos=900.0):
 
 def _measure(n, nz, run, state, phis_np, jax, jnp,
              iters_budget_s=5.0, dt_atmos=900.0, remat=False):
+    """Steady-state timing: settle window, then several batches; bank
+    the MIN batch mean (the uncongested-queue value) and record every
+    batch so a congested run is visibly flagged (r3 lesson: the same
+    program measured 84 ms warm vs 566 ms right after a congested
+    81 s remote compile -- a single immediate probe is not a
+    benchmark).  Every timed region ends in a data-dependent scalar
+    fetch because block_until_ready on the axon tunnel can acknowledge
+    tens of ms before the device finishes; the fetch round-trip is
+    measured and subtracted."""
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     phis = jax.device_put(jnp.asarray(phis_np), dev)
     _stage(f"compile_c{n}")
     t0 = time.perf_counter()
-    out = run(state, phis, 1)
-    out.delp.block_until_ready()
+    st = run(state, phis, 1)
+    st.delp.block_until_ready()
     compile_s = time.perf_counter() - t0
     _stage(f"probe_c{n}")
 
+    # settle: two throwaway steps absorb queue backlog after the
+    # compile; the scalar fetch forces true completion
+    st = run(st, phis, 1)
+    st = run(st, phis, 1)
+    _ = float(st.delp[0, 0, 0, 0])
+    # fetch round-trip on an already-materialized array (~26-33 ms)
     t0 = time.perf_counter()
-    st = run(out, phis, 1)
-    st.delp.block_until_ready()
-    probe = time.perf_counter() - t0
-    iters = max(1, min(20, int(iters_budget_s / max(probe, 1e-4))))
+    _ = float(st.delp[0, 0, 0, 0])
+    rtt = time.perf_counter() - t0
+    # probe one step for batch sizing
     t0 = time.perf_counter()
-    for _ in range(iters):
-        st = run(st, phis, 1)
-    # force TRUE completion with a data-dependent scalar fetch:
-    # block_until_ready on the axon tunnel can acknowledge tens of ms
-    # before the device finishes (measured r3), which would inflate the
-    # reported throughput
-    finite = bool(jnp.isfinite(st.delp).all())
-    dt = (time.perf_counter() - t0) / iters
-    assert finite, "state blew up"
+    st = run(st, phis, 1)
+    _ = float(st.delp[0, 0, 0, 0])
+    probe = max(time.perf_counter() - t0 - rtt, 1e-4)
+    # batches sized ~1 s; as many as the budget allows, up to 5
+    k = max(1, min(12, int(1.0 / probe)))
+    batch_ms = []
+    while len(batch_ms) < 5 and (
+        len(batch_ms) < 2 or _remaining() > 10.0 + k * probe
+    ):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            st = run(st, phis, 1)
+        finite = bool(jnp.isfinite(st.delp[0, 0, 0, 0]))
+        batch_ms.append(
+            (time.perf_counter() - t0 - rtt) / k * 1e3
+        )
+        assert finite, "state blew up"
+    dt = min(batch_ms) / 1e3
+    mean = sum(batch_ms) / len(batch_ms)
+    spread = (max(batch_ms) - min(batch_ms)) / mean if mean else 0.0
 
     cells = 6 * n * n * nz
     updates_per_s = cells * 6 / dt  # k_split=1, n_split=6
@@ -154,6 +179,10 @@ def _measure(n, nz, run, state, phis_np, jax, jnp,
     return {
         "updates_per_s": updates_per_s,
         "step_ms": dt * 1e3,
+        "batch_ms": [round(b, 1) for b in batch_ms],
+        "iters_per_batch": k,
+        "fetch_rtt_ms": round(rtt * 1e3, 1),
+        "congestion_spread": round(spread, 3),
         "gridpoints_per_s_per_chip": cells / dt,
         "simulated_years_per_day": sypd / 365.25,
         "compile_s": compile_s,

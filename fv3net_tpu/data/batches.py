@@ -52,6 +52,60 @@ def batches_from_zarr(
     return batches
 
 
+@register_batches_function("batches_from_serialized")
+def batches_from_serialized(
+    path: str,
+    variables: Sequence[str] = (),
+    savepoints_per_batch: int = 1,
+    store_name: str = "state_output.zarr",
+) -> Sequence[Mapping[str, Quantity]]:
+    """Batches over emulation StorageHook capture output
+    (loaders/batches/_batch.py:282 batches_from_serialized +
+    _serialized_phys.py SerializedSequence/FlattenDims roles).
+
+    The StorageHook (emulation/hooks.py:62) appends each captured
+    physics state to ``<path>/state_output.zarr`` with a leading
+    savepoint axis.  Each batch stacks ``savepoints_per_batch``
+    savepoints and flattens every non-vertical dimension into a single
+    ``sample`` dim — column fields become [sample, z], surface fields
+    [sample, 1] — the layout the `transformed` emulator trainer
+    consumes directly.
+    """
+    import os
+
+    store_path = (
+        os.path.join(path, store_name)
+        if os.path.isdir(os.path.join(path, store_name))
+        else path
+    )
+    store = ZarrLiteStore(store_path)
+    names = list(variables) if variables else sorted(store.arrays())
+    arrays = {v: store.read(v) for v in names}
+    n_save = min(a.shape[0] for a in arrays.values())
+
+    def flatten(a):
+        # [sp, tile, z, y, x] -> [sp*tile*y*x, z];
+        # [sp, tile, y, x] -> [sp*tile*y*x, 1]; [sp, ...] -> [sp, -1]
+        if a.ndim == 5:
+            return np.moveaxis(a, 2, -1).reshape(-1, a.shape[2])
+        if a.ndim == 4:
+            return a.reshape(-1, 1)
+        return a.reshape(a.shape[0], -1)
+
+    batches = []
+    for i in range(0, n_save, savepoints_per_batch):
+        sl = slice(i, min(i + savepoints_per_batch, n_save))
+        batches.append(
+            {
+                v: Quantity(
+                    flatten(arrays[v][sl]), ("sample", "z"), ""
+                )
+                for v in names
+            }
+        )
+    return batches
+
+
 class SyntheticWaves:
     """(fv3fit/data/synthetic.py:57): smooth wavy 3D fields."""
 

@@ -86,9 +86,10 @@ class StorageHook:
             )
             self._init = set()
         for key, val in state.items():
-            arr = np.asarray(val, dtype=np.float32)
+            arr = np.asarray(val)
             if arr.dtype.kind not in "fiu":
-                continue
+                continue  # timestamps/strings are not training data
+            arr = arr.astype(np.float32)
             if key not in self._init:
                 self._sink.create_array(
                     key, shape=(0,) + arr.shape,

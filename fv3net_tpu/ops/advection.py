@@ -22,7 +22,30 @@ stage can consume halo-row fluxes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Pallas dispatch for the fused transport kernel (ops/pallas_tp.py):
+# None = auto (use Pallas on TPU backends), True/False = forced.
+# The jnp implementation below remains the reference semantics; the
+# kernel is equivalence-gated against it (tests/test_pallas_kernels.py
+# in interpret mode, plus bitwise real-chip checks in tools/).
+_USE_PALLAS = None
+
+
+def set_pallas_transport(flag):
+    """Force (True/False) or restore auto (None) Pallas dispatch."""
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def _pallas_enabled() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _ppm_edges(q, axis: int, hord: int):
@@ -141,6 +164,17 @@ def fv_tp_2d(qp_x, qp_y, crx, cry, xfx, yfx, area_px, area_py, hord: int):
     transverse direction (divided by the transversely-updated air mass)
     feeds the outer flux computation, cancelling the splitting error.
     """
+    # Pallas pays off only on wide grids: at C48 (N=54, one 128-lane
+    # tile) XLA fuses the jnp stencils into neighboring ops and the
+    # kernel boundary + grid DMA makes the step ~60% SLOWER (measured
+    # 61 -> 100 ms/step r4); at C192 (N=198) the fused kernel is 5.7x
+    # faster than the jnp chain (12.7 -> 2.2 ms/call).
+    if _pallas_enabled() and qp_x.shape[-1] >= 128:
+        from .pallas_tp import fv_tp_2d_pallas
+
+        return fv_tp_2d_pallas(
+            qp_x, qp_y, crx, cry, xfx, yfx, area_px, area_py, hord
+        )
 
     def shx(a, k):
         return jnp.roll(a, -k, axis=-1)

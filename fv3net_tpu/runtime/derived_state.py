@@ -259,6 +259,250 @@ def _lhf_from_evap(dm: DerivedMapping) -> Quantity:
     )
 
 
+# --- remaining vcm.DerivedMapping registrations (parity with the
+# reference's 28-name registry, vcm/derived_mapping.py:114-395) -------
+
+
+def _rotate_winds(dm: DerivedMapping, xname: str, yname: str):
+    """D-grid (x, y) components -> centered (eastward, northward)
+    using the rotation-coefficient fields carried in the state
+    (derived_mapping.py:129-140 _rotate)."""
+    from ..utils.rotate import center_and_rotate_xy_winds
+
+    matrix = {
+        k: np.asarray(dm[k].values)
+        for k in (
+            "eastward_wind_u_coeff", "eastward_wind_v_coeff",
+            "northward_wind_u_coeff", "northward_wind_v_coeff",
+        )
+    }
+    x = dm[xname]
+    east, north = center_and_rotate_xy_winds(
+        matrix, np.asarray(x.values), np.asarray(dm[yname].values)
+    )
+    dims = x.dims[:-2] + ("y", "x")
+    return (
+        Quantity(east, dims, "m/s"),
+        Quantity(north, dims, "m/s"),
+    )
+
+
+@DerivedMapping.register("eastward_wind")
+def _eastward_wind(dm: DerivedMapping) -> Quantity:
+    return _rotate_winds(dm, "x_wind", "y_wind")[0]
+
+
+@DerivedMapping.register("northward_wind")
+def _northward_wind(dm: DerivedMapping) -> Quantity:
+    return _rotate_winds(dm, "x_wind", "y_wind")[1]
+
+
+@DerivedMapping.register("dQu")
+def _dqu(dm: DerivedMapping) -> Quantity:
+    return _rotate_winds(dm, "dQxwind", "dQywind")[0]
+
+
+@DerivedMapping.register("dQv")
+def _dqv(dm: DerivedMapping) -> Quantity:
+    return _rotate_winds(dm, "dQxwind", "dQywind")[1]
+
+
+@DerivedMapping.register("dQu_parallel_to_eastward_wind")
+def _dqu_parallel(dm: DerivedMapping) -> Quantity:
+    u, du = dm["eastward_wind"], dm["dQu"]
+    sign = np.sign(np.asarray(u.values) / np.asarray(du.values))
+    return Quantity(
+        sign * np.abs(np.asarray(du.values)), du.dims, "m/s/s"
+    )
+
+
+@DerivedMapping.register("dQv_parallel_to_northward_wind")
+def _dqv_parallel(dm: DerivedMapping) -> Quantity:
+    v, dv = dm["northward_wind"], dm["dQv"]
+    sign = np.sign(np.asarray(v.values) / np.asarray(dv.values))
+    return Quantity(
+        sign * np.abs(np.asarray(dv.values)), dv.dims, "m/s/s"
+    )
+
+
+@DerivedMapping.register(
+    "horizontal_wind_tendency_parallel_to_horizontal_wind"
+)
+def _wind_tendency_parallel(dm: DerivedMapping) -> Quantity:
+    u = np.asarray(dm["eastward_wind"].values)
+    v = np.asarray(dm["northward_wind"].values)
+    du = np.asarray(dm["dQu"].values)
+    dv = np.asarray(dm["dQv"].values)
+    proj = (u * du + v * dv) / np.linalg.norm((u, v))
+    return Quantity(proj, dm["dQu"].dims, "m/s/s")
+
+
+@DerivedMapping.register("net_shortwave_sfc_flux_derived")
+def _net_sw_sfc_derived(dm: DerivedMapping) -> Quantity:
+    albedo = dm["surface_diffused_shortwave_albedo"]
+    down = dm[
+        "override_for_time_adjusted_total_sky_downward_shortwave_"
+        "flux_at_surface"
+    ]
+    return Quantity(
+        (1.0 - np.asarray(albedo.values)) * np.asarray(down.values),
+        down.dims, "W/m**2",
+    )
+
+
+@DerivedMapping.register("downward_shortwave_sfc_flux_via_transmissivity")
+def _down_sw_via_trans(dm: DerivedMapping) -> Quantity:
+    toa = dm["total_sky_downward_shortwave_flux_at_top_of_atmosphere"]
+    trans = dm["shortwave_transmissivity_of_atmospheric_column"]
+    return Quantity(
+        np.asarray(trans.values) * np.asarray(toa.values),
+        toa.dims, "W/m**2",
+    )
+
+
+@DerivedMapping.register("net_shortwave_sfc_flux_via_transmissivity")
+def _net_sw_via_trans(dm: DerivedMapping) -> Quantity:
+    albedo = dm["surface_diffused_shortwave_albedo"]
+    down = dm["downward_shortwave_sfc_flux_via_transmissivity"]
+    return Quantity(
+        (1.0 - np.asarray(albedo.values)) * np.asarray(down.values),
+        down.dims, "W/m**2",
+    )
+
+
+@DerivedMapping.register("pQ1")
+def _pq1(dm: DerivedMapping) -> Quantity:
+    delp = _delp(dm)
+    return Quantity(np.zeros_like(delp.values), delp.dims, "K/s")
+
+
+@DerivedMapping.register("pQ2")
+def _pq2(dm: DerivedMapping) -> Quantity:
+    delp = _delp(dm)
+    return Quantity(
+        np.zeros_like(delp.values), delp.dims, "kg/kg/s"
+    )
+
+
+@DerivedMapping.register("Q1")
+def _q1(dm: DerivedMapping) -> Quantity:
+    pq1 = dm["pQ1"]
+    try:
+        dq1 = dm["dQ1"]
+    except KeyError:
+        return pq1
+    return Quantity(
+        np.asarray(pq1.values) + np.asarray(dq1.values),
+        pq1.dims, "K/s",
+    )
+
+
+@DerivedMapping.register("Q2")
+def _q2(dm: DerivedMapping) -> Quantity:
+    pq2 = dm["pQ2"]
+    try:
+        dq2 = dm["dQ2"]
+    except KeyError:
+        return pq2
+    return Quantity(
+        np.asarray(pq2.values) + np.asarray(dq2.values),
+        pq2.dims, "kg/kg/s",
+    )
+
+
+@DerivedMapping.register("internal_energy")
+def _internal_energy(dm: DerivedMapping) -> Quantity:
+    from ..constants import CV_AIR
+
+    t = dm[names.TEMP]
+    return Quantity(CV_AIR * np.asarray(t.values), t.dims, "J/kg")
+
+
+def _column_heating_isochoric(dm, tendency_name):
+    """cv/g integral of a temperature tendency (vcm
+    column_integrated_heating_from_isochoric_transition)."""
+    from ..constants import CV_AIR, GRAV
+
+    dt = dm[tendency_name]
+    delp = _delp(dm)
+    col = (CV_AIR / GRAV) * (
+        np.asarray(dt.values) * np.asarray(delp.values)
+    ).sum(axis=-3)
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(col, dims, "W/m**2")
+
+
+def _column_moistening(dm, tendency_name):
+    """g^-1 integral of a humidity tendency, in mm/day (vcm
+    minus_column_integrated_moistening, sign flipped back)."""
+    from ..constants import GRAV
+
+    dq = dm[tendency_name]
+    delp = _delp(dm)
+    kg_m2_s = (
+        np.asarray(dq.values) * np.asarray(delp.values)
+    ).sum(axis=-3) / GRAV
+    dims = delp.dims[:-3] + delp.dims[-2:]
+    return Quantity(kg_m2_s * 86400.0, dims, "mm/day")
+
+
+@DerivedMapping.register("column_integrated_dQ1")
+def _col_dq1(dm: DerivedMapping) -> Quantity:
+    return _column_heating_isochoric(dm, "dQ1")
+
+
+@DerivedMapping.register("column_integrated_dQ2")
+def _col_dq2(dm: DerivedMapping) -> Quantity:
+    return _column_moistening(dm, "dQ2")
+
+
+@DerivedMapping.register("column_integrated_Q1")
+def _col_q1(dm: DerivedMapping) -> Quantity:
+    return _column_heating_isochoric(dm, "Q1")
+
+
+@DerivedMapping.register("column_integrated_Q2")
+def _col_q2(dm: DerivedMapping) -> Quantity:
+    return _column_moistening(dm, "Q2")
+
+
+@DerivedMapping.register("upward_heat_flux_at_surface")
+def _upward_heat_flux_sfc(dm: DerivedMapping) -> Quantity:
+    sw_up = dm["total_sky_upward_shortwave_flux_at_surface"]
+    lw_up = dm["total_sky_upward_longwave_flux_at_surface"]
+    shf = dm["sensible_heat_flux"]
+    return Quantity(
+        np.asarray(sw_up.values)
+        + np.asarray(lw_up.values)
+        + np.asarray(shf.values),
+        sw_up.dims, "W/m**2",
+    )
+
+
+def _incloud(dm, condensate_name, climit1=1.0e-3, climit2=5.0e-2):
+    """GFS radiation_clouds.f condensate normalization
+    (vcm/calc/clouds.py gridcell_to_incloud_condensate): in-cloud
+    condensate = gridcell-mean / max(cloud_fraction, climit2), except
+    untouched where cloud_fraction <= climit1."""
+    cf = np.asarray(dm["cloud_amount"].values)
+    q = dm[condensate_name]
+    qv = np.asarray(q.values)
+    scaled = qv / np.maximum(cf, climit2)
+    return Quantity(
+        np.where(cf <= climit1, qv, scaled), q.dims, "kg/kg"
+    )
+
+
+@DerivedMapping.register("incloud_water_mixing_ratio")
+def _incloud_water(dm: DerivedMapping) -> Quantity:
+    return _incloud(dm, "cloud_water_mixing_ratio")
+
+
+@DerivedMapping.register("incloud_ice_mixing_ratio")
+def _incloud_ice(dm: DerivedMapping) -> Quantity:
+    return _incloud(dm, "cloud_ice_mixing_ratio")
+
+
 class DerivedModelState(MutableMapping):
     """Dict-like wrapper-state view (DerivedFV3State equivalent)."""
 

@@ -246,6 +246,7 @@ def test_timer_and_scalar_sink(tmp_path):
     assert [r["value"] for r in series["a"]] == [1.0, 3.0]
 
 
+@pytest.mark.slow
 def test_segmented_run_emits_timing_and_scalars(tmp_path):
     """A segment leaves timing.json + scalars.jsonl next to its
     diagnostics (VERDICT r2 item 10)."""

@@ -30,6 +30,7 @@ def make_rest_state(g, nz, ptop, theta0=300.0, ps=1.0e5, dtype=jnp.float64):
     )
 
 
+@pytest.mark.slow
 def test_uniform_theta_rest_state():
     """Uniform theta + flat terrain + uniform ps: exact discrete balance,
     the state must not move."""
@@ -48,6 +49,7 @@ def test_uniform_theta_rest_state():
     )
 
 
+@pytest.mark.slow
 def test_mass_and_theta_conservation_with_anomaly():
     """A localized warm anomaly drives a circulation; total mass and
     mass-weighted theta must be conserved exactly."""
@@ -82,6 +84,7 @@ def test_mass_and_theta_conservation_with_anomaly():
     assert np.isfinite(np.asarray(out.pt)).all()
 
 
+@pytest.mark.slow
 def test_tracer_transport_conserves():
     n, nz = 12, 8
     g = CubedSphereGrid.make(n, halo=3)

@@ -197,6 +197,7 @@ def test_autoencoder_reconstructs(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_cyclegan_trains_and_roundtrips(tmp_path):
     rng = np.random.RandomState(0)
     batches = []
@@ -227,6 +228,7 @@ def test_cyclegan_trains_and_roundtrips(tmp_path):
 # -------------------------------------------------------------- graph
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["mpg", "unet"])
 def test_graph_train_predict_roundtrip(tmp_path, arch):
     batches = [_cube_batch(s) for s in range(2)]
@@ -303,6 +305,7 @@ def _time_series(T=12, seed=0):
     return batches, f, s
 
 
+@pytest.mark.slow
 def test_fmr_learns_forced_linear_dynamics(tmp_path):
     batches, f, s = _time_series()
     model = fit.train_fmr_model(

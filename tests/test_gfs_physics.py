@@ -169,6 +169,7 @@ def test_full_suite_runs_and_is_finite():
     ) - 1e-6
 
 
+@pytest.mark.slow
 def test_wrapper_gfs_suite_end_to_end():
     from fv3net_tpu import wrapper
 
@@ -204,6 +205,7 @@ def test_wrapper_gfs_suite_end_to_end():
         wrapper.cleanup()
 
 
+@pytest.mark.slow
 def test_wrapper_gfs_with_emulation_hooks():
     """The call_py_fort analogue: hooks see *_input / *_after_* keys and
     may substitute *_output (SURVEY 3.4)."""

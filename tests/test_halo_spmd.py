@@ -30,6 +30,7 @@ def _field(seed=0, with_z=True):
     return rng.randn(*shape).astype(np.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fill", ["none", "x", "y"])
 def test_spmd_matches_gather_exchange(face_mesh, fill):
     f = _field()
@@ -67,6 +68,7 @@ def test_spmd_under_jit(face_mesh):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_spmd_2d_field(face_mesh):
     f = _field(2, with_z=False)
     sharded = jax.device_put(
@@ -78,6 +80,7 @@ def test_spmd_2d_field(face_mesh):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_smooth_field_continuity(face_mesh):
     """A function of position must be continuous across every face
     contact after the exchange (the /verify skill's acid test)."""

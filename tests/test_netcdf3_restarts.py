@@ -212,6 +212,7 @@ def test_timestamped_intermediate_restarts(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_dycore_runs_from_ingested_restart(tmp_path):
     """Init-from-restart drives the dycore: ingested state steps without
     blowing up and conserves mass (the nudging.py:111-133 use case)."""

@@ -102,6 +102,7 @@ def _rest_state(n, nz, dtype=jnp.float32):
     )
 
 
+@pytest.mark.slow
 def test_nh_dycore_rest_state():
     """Resting isothermal-ish atmosphere stays at rest (f32, 4 steps)."""
     n, nz = 12, 16
@@ -120,6 +121,7 @@ def test_nh_dycore_rest_state():
     assert float(jnp.max(rel_dz)) < 0.02
 
 
+@pytest.mark.slow
 def test_nh_matches_hydrostatic_for_large_scale_flow():
     """For a large-scale thermal perturbation the NH and hydrostatic
     branches must track each other closely over a few steps."""
@@ -144,6 +146,7 @@ def test_nh_matches_hydrostatic_for_large_scale_flow():
     assert du < 0.35 * scale + 0.05
 
 
+@pytest.mark.slow
 def test_nh_mass_and_height_conservation():
     n, nz = 12, 16
     g = CubedSphereGrid.make(n, halo=3)

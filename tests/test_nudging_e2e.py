@@ -87,6 +87,7 @@ def test_reference_state_time_interpolation(model, tmp_path):
         get_ref(t0 - datetime.timedelta(hours=1))
 
 
+@pytest.mark.slow
 def test_nudged_timeloop_roundtrips_into_training_batch(
     model, tmp_path
 ):

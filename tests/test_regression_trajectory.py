@@ -20,6 +20,7 @@ sys.path.insert(
 )
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -75,6 +76,7 @@ def _run():
     }
 
 
+@pytest.mark.slow
 def test_c12_trajectory_matches_stored():
     got = _run()
     assert os.path.exists(DATA), (

@@ -118,6 +118,7 @@ class ConstantTendencyModel:
         }
 
 
+@pytest.mark.slow
 def test_time_loop_with_ml_stepper(model):
     state = DerivedModelState(wrapper)
     stepper = PureMLStepper(ConstantTendencyModel(), dt=600.0)
@@ -230,6 +231,7 @@ def test_add_tendency_fills_nans(model):
     np.testing.assert_allclose(out[names.TEMP].values, t.values)
 
 
+@pytest.mark.slow
 def test_coupling_hot_path_stays_on_device(model):
     """TPU-first coupling (SURVEY hard part 6, VERDICT r2 item 7): one
     TimeLoop step must carry the monitored tendencies and tendency

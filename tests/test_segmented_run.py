@@ -6,10 +6,12 @@ import datetime
 import os
 
 import numpy as np
+import pytest
 
 from fv3net_tpu.runtime import segmented_run
 
 
+@pytest.mark.slow
 def test_create_append_resume(tmp_path):
     url = str(tmp_path / "run1")
     config = {

@@ -142,6 +142,7 @@ def _tiny_state(g, nz, dtype=jnp.float64):
     return _initial_state(g)
 
 
+@pytest.mark.slow
 def test_spmd_dycore_step_matches_single_device():
     """One full nonhydrostatic dt on the face mesh == the single-device
     result (same gather tables, same arithmetic)."""
@@ -194,6 +195,7 @@ def test_spmd_dycore_step_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_spmd_dycore_hlo_has_no_all_gather():
     """The compiled multi-chip step must move halos with
     collective-permute, never by all-gathering the cube."""

@@ -45,6 +45,7 @@ def w2_fields(g: CubedSphereGrid, u0=None, gh0=2.94e4):
     return depth, u, v
 
 
+@pytest.mark.slow
 def test_rest_state_stays_at_rest():
     g = CubedSphereGrid.make(12, halo=3)
     run, m = make_sw_stepper(g, dt=600.0, dtype=jnp.float64)
@@ -59,6 +60,7 @@ def test_rest_state_stays_at_rest():
     assert np.abs(np.asarray(out.v)).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_mass_conservation():
     n = 24
     g = CubedSphereGrid.make(n, halo=3)
@@ -76,6 +78,7 @@ def test_mass_conservation():
 # tolerance reflects the round-1 orthogonal-metric approximation;
 # FV3-grade accuracy (cosa/sina corrections, upwind corner KE) is a
 # planned refinement tracked in the build plan
+@pytest.mark.slow
 @pytest.mark.parametrize("n,steps,tol", [(24, 720, 0.08)])
 def test_williamson2_steady_state(n, steps, tol):
     """5 simulated days of the steady geostrophic flow; the height field
@@ -100,6 +103,7 @@ def test_williamson2_steady_state(n, steps, tol):
     assert np.abs(np.asarray(out.u)).max() < 150.0
 
 
+@pytest.mark.slow
 def test_linearized_step_spectral_radius():
     """Certify linear stability of the full SW step: jacfwd the step
     around a rest state on a C12 cube and assert the spectral radius is

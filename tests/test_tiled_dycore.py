@@ -91,6 +91,7 @@ def test_block_unblock_roundtrip():
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(v))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("F,Y,X", [(6, 2, 2), (2, 2, 2)])
 def test_tiled_dycore_step_matches_single_device(F, Y, X):
     from fv3net_tpu.parallel.spmd_dycore import (
@@ -117,6 +118,7 @@ def test_tiled_dycore_step_matches_single_device(F, Y, X):
         )
 
 
+@pytest.mark.slow
 def test_tiled_dycore_hlo_has_no_all_gather():
     from fv3net_tpu.parallel.spmd_dycore import (
         make_tiled_spmd_dycore_stepper,

@@ -213,6 +213,7 @@ def test_train_dump_load_predict(tmp_path):
     assert corr > 0.8
 
 
+@pytest.mark.slow
 def test_hook_substitution_end_to_end(tmp_path):
     """Trained emulator drives apply_physics through MicrophysicsHook:
     the run completes, stays finite, and conserves column moisture to

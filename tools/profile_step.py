@@ -1,0 +1,108 @@
+"""Profile the nonhydrostatic dycore step on the real TPU chip.
+
+Captures a jax.profiler trace of a few steps at the given resolution and
+prints the top device ops by total duration, plus honest (scalar-fetch)
+step timing.  Usage:
+
+    python tools/profile_step.py 48 [192 ...]
+
+Writes traces under /tmp/fv3prof_c{n}/ and a summary to stdout.
+"""
+
+import glob
+import gzip
+import json
+import sys
+import time
+from collections import defaultdict
+
+
+def top_ops(tracedir, k=25):
+    """Aggregate device-op durations from the newest trace.json.gz."""
+    paths = sorted(
+        glob.glob(tracedir + "/**/*.trace.json.gz", recursive=True)
+    )
+    if not paths:
+        return None
+    with gzip.open(paths[-1], "rt") as f:
+        tr = json.load(f)
+    # find TPU device pids (process_name metadata)
+    pid_names = {}
+    for ev in tr["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {
+        p for p, nm in pid_names.items()
+        if "TPU" in nm and "pjrt" not in nm.lower()
+    }
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for ev in tr["traceEvents"]:
+        if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
+            # XLA op events carry args with long names; use event name
+            d = ev.get("dur", 0) / 1e3  # ms
+            agg[ev["name"]] += d
+            cnt[ev["name"]] += 1
+            total += d
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:k]
+    return total, [(nm, round(d, 3), cnt[nm]) for nm, d in rows]
+
+
+def profile(n, nz=63, steps=3):
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from bench import _build_config
+
+    dt = {48: 900.0, 96: 450.0, 192: 225.0, 384: 112.5}.get(n, 900.0)
+    t0 = time.time()
+    run, state, phis_np = _build_config(n, nz, jax, jnp, dt_atmos=dt)
+    print(f"C{n} build {time.time()-t0:.1f}s", flush=True)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    phis = jax.device_put(jnp.asarray(phis_np), dev)
+    t0 = time.time()
+    out = run(state, phis, 1)
+    out.delp.block_until_ready()
+    print(f"C{n} compile+first {time.time()-t0:.1f}s", flush=True)
+    # settle: a few warm steps with honest fetch
+    for _ in range(2):
+        out = run(out, phis, 1)
+    _ = float(out.delp[0, 0, 0, 0])
+    # honest timing: batches of 3, min over 4 batches, RTT-corrected
+    t0 = time.time()
+    _ = float(out.delp[0, 0, 0, 0])
+    rtt = time.time() - t0
+    batch_ms = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(3):
+            out = run(out, phis, 1)
+        _ = float(out.delp[0, 0, 0, 0])
+        batch_ms.append((time.time() - t0 - rtt) / 3 * 1e3)
+    print(
+        f"C{n} step_ms min={min(batch_ms):.1f} "
+        f"all={[round(b,1) for b in batch_ms]} rtt={rtt*1e3:.0f}ms",
+        flush=True,
+    )
+    tracedir = f"/tmp/fv3prof_c{n}"
+    with jax.profiler.trace(tracedir):
+        for _ in range(steps):
+            out = run(out, phis, 1)
+        out.delp.block_until_ready()
+        _ = float(out.delp[0, 0, 0, 0])
+    res = top_ops(tracedir)
+    if res is None:
+        print("no trace captured", flush=True)
+        return
+    total, rows = res
+    print(f"C{n} device total {total:.1f} ms over {steps} steps")
+    for nm, d, c in rows:
+        print(f"  {d:10.2f} ms  x{c:<6d} {nm[:110]}")
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    for arg in sys.argv[1:]:
+        profile(int(arg))
