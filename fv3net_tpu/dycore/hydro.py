@@ -606,7 +606,8 @@ def make_dycore_stepper(
     # the host CPU backend, then ship the finished pytree to the
     # default device in one transfer.
     try:
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]  # NOT jax.devices:
+        # that list is global in multi-process mode
     except RuntimeError:
         cpu = None
     with jax.default_device(cpu):

@@ -475,7 +475,9 @@ class SWMetrics:
 
         rng = np.random.RandomState(0)
         try:
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]  # local: in
+            # multi-process mode jax.devices() is GLOBAL and
+            # entry [0] may be another process's device
         except RuntimeError:
             cpu = None
         with jax.default_device(cpu):
@@ -623,6 +625,35 @@ def scalar_filter(q, m, c):
         (dq,) = vjp((sx * bc(wfx), sy * bc(wfy)))
         return dq * bc(m.rarea)
 
+    def L_local(qq):
+        # The vjp-assembled G^T(W G) written as an explicit flux-form
+        # Laplacian: every face flux t = w * dq is subtracted/added to
+        # its two adjacent cells, and inter-face boundary faces —
+        # computed by BOTH adjacent faces, once each — carry doubled
+        # weight.  Exact same operator (same sums, no autodiff
+        # scatter): the vjp-of-gather transpose costs 10.4 ms/call at
+        # C192 on TPU vs ~3 ms for this forward form; equality is
+        # asserted by tests/test_sw.py::test_scalar_filter_local_form.
+        sx, sy = _cell_grad_op(qq, m)
+        tx = sx * bc(wfx)
+        ty = sy * bc(wfy)
+        tx = jnp.concatenate(
+            [2.0 * tx[..., :1], tx[..., 1:-1], 2.0 * tx[..., -1:]],
+            axis=-1,
+        )
+        ty = jnp.concatenate(
+            [2.0 * ty[..., :1, :], ty[..., 1:-1, :],
+             2.0 * ty[..., -1:, :]],
+            axis=-2,
+        )
+        dq = (tx[..., :, :-1] - tx[..., :, 1:]) + (
+            ty[..., :-1, :] - ty[..., 1:, :]
+        )
+        return dq * bc(m.rarea)
+
+    if m.edge_w is None:  # face level: forward-only local form
+        L = L_local
+
     # del-4 (L^2/8): 2-delta damped at ~8c, resolved scales (k dx)^2
     # weaker than the del-2 form; conservative and dissipative for any
     # composition of the self-adjoint PSD L
@@ -658,6 +689,36 @@ def vort_damp(u, v, m, cv):
             + vp[..., :, 1:] - vp[..., :, :-1]
         )
         return z[..., h : h + n, h : h + n]
+
+    # Face level: Vop consumes ONLY own wind slots (the crop keeps
+    # rows/cols h..h+n, all pass-through positions of the D exchange),
+    # so both Vop and its transpose are plain local stencils — the
+    # exchange exists purely so the vjp routes cross-TILE adjoint
+    # contributions under within-face tiling.  The forward-only local
+    # pair below is the exact same operator (asserted by
+    # tests/test_sw.py::test_vort_damp_local_form) without the
+    # autodiff-scatter cost (29 -> ~3 ms/call at C192 on TPU).
+    def Vop_local(uu, vv):
+        return (
+            uu[..., :-1, :] - uu[..., 1:, :]
+            + vv[..., :, 1:] - vv[..., :, :-1]
+        )
+
+    def VT_local(t):
+        zj = jnp.zeros_like(t[..., :1, :])
+        zi = jnp.zeros_like(t[..., :, :1])
+        du = jnp.concatenate([t, zj], axis=-2) - jnp.concatenate(
+            [zj, t], axis=-2
+        )
+        dv = jnp.concatenate([zi, t], axis=-1) - jnp.concatenate(
+            [t, zi], axis=-1
+        )
+        return du, dv
+
+    if m.edge_w is None:  # face level: forward-only local del-4
+        du1, dv1 = VT_local(Vop_local(u, v))
+        du, dv = VT_local(Vop_local(du1, dv1))
+        return -(cv / 8.0) * du, -(cv / 8.0) * dv
 
     # del-4 form (V^T V)^2 / 8: same 2-delta strength as del-2 with
     # coefficient cv (8*cv per substep) but ~(k dx)^2 weaker on

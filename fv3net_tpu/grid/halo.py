@@ -945,11 +945,19 @@ def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
 
         return _hs.halo_exchange_cgrid_local(uc, vc, h, fill, _SPMD_AXIS)
     n = uc.shape[-2]
-    tables = _cgrid_tables(n, h, fill)
-    plan = _cgrid_affine_plans(n, h, fill)
-    return _staggered_strip_exchange(
-        uc, vc, tables, h, n, n + 1, n + 1, n, uc.dtype, plan
-    )
+
+    def fwd(uu, vv):
+        tables = _cgrid_tables(n, h, fill)
+        plan = _cgrid_affine_plans(n, h, fill)
+        return _staggered_strip_exchange(
+            uu, vv, tables, h, n, n + 1, n + 1, n, uu.dtype, plan
+        )
+
+    # linear_call attaches the gather-based transpose so vjp-built
+    # operators (div_damp) avoid autodiff scatter-adds (halo_transpose)
+    from .halo_transpose import cgrid_exchange_linear
+
+    return cgrid_exchange_linear(uc, vc, h, fill, fwd)
 
 
 def halo_exchange_dgrid(u, v, h: int):
@@ -971,11 +979,19 @@ def halo_exchange_dgrid(u, v, h: int):
 
         return _hs.halo_exchange_dgrid_local(u, v, h, _SPMD_AXIS)
     n = u.shape[-1]
-    tables = _dgrid_tables(n, h)
-    plan = _dgrid_affine_plans(n, h)
-    return _staggered_strip_exchange(
-        u, v, tables, h, n + 1, n, n, n + 1, u.dtype, plan
-    )
+
+    def fwd(uu, vv):
+        tables = _dgrid_tables(n, h)
+        plan = _dgrid_affine_plans(n, h)
+        return _staggered_strip_exchange(
+            uu, vv, tables, h, n + 1, n, n, n + 1, uu.dtype, plan
+        )
+
+    # gather-based transpose (see halo_transpose.py): the vjp of a
+    # table gather is otherwise a scatter-add, ~20 ms/damper at C192
+    from .halo_transpose import dgrid_exchange_linear
+
+    return dgrid_exchange_linear(u, v, h, fwd)
 
 
 @lru_cache(maxsize=None)

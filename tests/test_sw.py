@@ -179,3 +179,77 @@ def test_corner_divergence_matches_potential_flow():
         got = div[:, cj, ci]
         want = div_true[:, cj, ci] * dxl
         np.testing.assert_allclose(got, want, rtol=0.05, atol=1e-4)
+
+
+def test_scalar_filter_local_form():
+    """The face-level forward-only flux-form Laplacian equals the
+    vjp-assembled G^T(W G) operator exactly (the local form removes
+    the autodiff-scatter cost on TPU)."""
+    from fv3net_tpu.dycore.sw import SWMetrics, scalar_filter
+
+    n, h, nz = 8, 3, 2
+    g = CubedSphereGrid.make(n, halo=h)
+    m = SWMetrics.make(g, jnp.float64)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(6, nz, n, n))
+    out_local = scalar_filter(q, m, 0.02)
+
+    wfx = 0.5 * (
+        m.area_px[:, h : h + n, h - 1 : h + n]
+        + m.area_px[:, h : h + n, h : h + n + 1]
+    )
+    wfy = 0.5 * (
+        m.area_py[:, h - 1 : h + n, h : h + n]
+        + m.area_py[:, h : h + n + 1, h : h + n]
+    )
+
+    def bc(a):
+        return a.reshape(a.shape[:1] + (1,) + a.shape[1:])
+
+    def L_vjp(qq):
+        import fv3net_tpu.dycore.sw as swmod
+
+        (sx, sy), vjp = jax.vjp(
+            lambda x: swmod._cell_grad_op(x, m), qq
+        )
+        (dq,) = vjp((sx * bc(wfx), sy * bc(wfy)))
+        return dq * bc(m.rarea)
+
+    out_vjp = q - (0.02 / 8.0) * L_vjp(L_vjp(q))
+    np.testing.assert_allclose(
+        np.asarray(out_local), np.asarray(out_vjp), atol=1e-13
+    )
+
+
+def test_vort_damp_local_form():
+    """Face-level forward-only del-4 curl damper equals the
+    vjp-transposed form bitwise (Vop consumes only own wind slots)."""
+    from fv3net_tpu.dycore.sw import SWMetrics, vort_damp
+    from fv3net_tpu.grid.halo import halo_exchange_dgrid
+
+    n, h, nz = 8, 3, 2
+    g = CubedSphereGrid.make(n, halo=h)
+    m = SWMetrics.make(g, jnp.float64)
+    rng = np.random.RandomState(1)
+    u = jnp.asarray(rng.randn(6, nz, n + 1, n))
+    v = jnp.asarray(rng.randn(6, nz, n, n + 1))
+    du_new, dv_new = vort_damp(u, v, m, 0.02)
+
+    def Vop(uu, vv):
+        up, vp = halo_exchange_dgrid(uu, vv, h)
+        z = (
+            up[..., :-1, :] - up[..., 1:, :]
+            + vp[..., :, 1:] - vp[..., :, :-1]
+        )
+        return z[..., h : h + n, h : h + n]
+
+    z, vjp = jax.vjp(Vop, u, v)
+    du1, dv1 = vjp(z)
+    z2, vjp2 = jax.vjp(Vop, du1, dv1)
+    du_old, dv_old = vjp2(z2)
+    np.testing.assert_array_equal(
+        np.asarray(du_new), np.asarray(-(0.02 / 8.0) * du_old)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dv_new), np.asarray(-(0.02 / 8.0) * dv_old)
+    )
