@@ -101,7 +101,7 @@ def _build_config(n, nz, jax, jnp, remat=False, dt_atmos=900.0):
     g = CubedSphereGrid.make(n, halo=3)
     run, m, _ = make_dycore_stepper(
         g, nz, dt_atmos=dt_atmos, k_split=1, n_split=6,
-        hord=5, dtype=jnp.float32, remat=remat,
+        hord=5, dtype=jnp.float32, remat=remat, donate=True,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -195,6 +195,73 @@ def _measure(n, nz, run, state, phis_np, jax, jnp,
     }
 
 
+def _measure_coupled(jax, jnp, n=48, nz=63, iters=3):
+    """One FULL coupled TimeLoop step at C<n>: nonhydrostatic dynamics
+    + GFS physics suite + radiation + a dense ML postphysics stepper
+    (the reference's hot loop, SURVEY 3.1 / runtime/loop.py:656-683).
+    Steady-state timing with the same settle+min discipline."""
+    import numpy as np
+
+    from fv3net_tpu import fit, wrapper
+    from fv3net_tpu.data import SyntheticWaves
+    from fv3net_tpu.runtime.derived_state import DerivedModelState
+    from fv3net_tpu.runtime.loop import TimeLoop
+    from fv3net_tpu.runtime.steppers import PureMLStepper
+
+    dt = 900.0
+    wrapper.initialize(
+        wrapper.ModelConfig(
+            npx=n + 1, npz=nz, physics_suite="gfs",
+            do_radiation=True, hydrostatic=False, dt_atmos=dt,
+        )
+    )
+    try:
+        # small real MLP (dQ1, dQ2 from T, q), trained one epoch on
+        # synthetic waves -- inference cost is what matters here
+        batches = SyntheticWaves(
+            ["air_temperature", "specific_humidity", "dQ1", "dQ2"],
+            n=8, nz=nz, nbatch=1, seed=0,
+        ).batches()
+        model = fit.train_dense_model(
+            fit.DenseHyperparameters(depth=2, width=64, epochs=1),
+            batches,
+            input_variables=["air_temperature", "specific_humidity"],
+            output_variables=["dQ1", "dQ2"],
+        )
+        stepper = PureMLStepper(model, dt=dt)
+        loop = TimeLoop(
+            wrapper, DerivedModelState(wrapper), dt=dt,
+            postphysics_stepper=stepper, n_steps=10_000,
+        )
+        it = iter(loop)
+        t0 = time.perf_counter()
+        next(it)  # compiles every jitted piece
+        compile_s = time.perf_counter() - t0
+        next(it)  # settle
+        loop.timer.reset()  # breakdown over measured steps only
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            next(it)
+        # TimeLoop substeps already synchronize via host reads
+        step_s = (time.perf_counter() - t0) / iters
+        return {
+            "step_ms": step_s * 1e3,
+            "simulated_years_per_day": dt / step_s / 365.25,
+            "compile_s": compile_s,
+            "config": (
+                f"coupled C{n} nz={nz} nonhydro + GFS physics + "
+                f"radiation + dense ML stepper"
+            ),
+            "timer_breakdown_ms": {
+                k: round(sum(v) / len(v) * 1e3, 1)
+                for k, v in loop.timer.times.items()
+                if v
+            },
+        }
+    finally:
+        wrapper.cleanup()
+
+
 def _bank(result, key, headline=False):
     _RESULT["detail"][key] = dict(
         result, cell_substep_updates_per_s=result["updates_per_s"]
@@ -269,20 +336,38 @@ def main():
     else:
         _RESULT["detail"]["c192"] = "skipped (budget)"
 
-    # --- rung 3: C384 x 63 -- the north star, attempted honestly -----
-    # Prior observations: without remat the program needs 21.05G vs
-    # 15.75G HBM (r02 probe); with remat the remote compile failed
-    # HTTP 500 (r03 warm run).  Attempted only with ample budget; a
-    # fresh error (not a stale string) is recorded otherwise.
-    if _remaining() > 150.0:
+    # --- rung 3: coupled C48 step (dynamics+physics+radiation+ML) ----
+    # a ~40 s wrapper compile chain; attempted when budget remains
+    if _remaining() > 90.0:
+        try:
+            rc = _measure_coupled(jax, jnp, n=48, nz=63, iters=3)
+            _RESULT["detail"]["coupled_c48"] = rc
+            _stage("coupled_done")
+        except Exception as e:
+            _RESULT["detail"]["coupled_c48"] = (
+                "error: " + repr(e)[:300]
+            )
+    else:
+        _RESULT["detail"]["coupled_c48"] = (
+            "skipped (budget); builder steady-state artifact: "
+            "bench_coupled_r4.json (committed)"
+        )
+
+    # --- rung 4: C384 x 63 -- the north star --------------------------
+    # RUNS on one chip since r4 (dead-accumulator drop + donation +
+    # Pallas 64MB-vmem transport): measured 7.246 s/step warm,
+    # 46.2M cell-substep-updates/s (bench_c384_r4.json).  The remote
+    # compile alone is ~360 s, so inside a ~110 s driver budget the
+    # rung reports the committed builder artifact instead of lying.
+    if _remaining() > 480.0:
         try:
             run, state, phis = _build_config(
-                384, 63, jax, jnp, remat=True, dt_atmos=112.5
+                384, 63, jax, jnp, dt_atmos=112.5
             )
             _stage("build_c384")
             r384 = _measure(
                 384, 63, run, state, phis, jax, jnp,
-                iters_budget_s=3.0, dt_atmos=112.5, remat=True,
+                iters_budget_s=3.0, dt_atmos=112.5,
             )
             _bank(r384, "c384")
             _stage("c384_done")
@@ -290,8 +375,10 @@ def main():
             _RESULT["detail"]["c384"] = "oom/error: " + repr(e)[:300]
     else:
         _RESULT["detail"]["c384"] = (
-            "skipped (budget); r02 probe without remat: 21.05G vs "
-            "15.75G HBM; r03 probe with remat: remote compile HTTP 500"
+            "runs on one chip since r4; compile ~360 s exceeds this "
+            "budget -- measured warm 7246 ms/step, 46.2M updates/s "
+            "(artifact bench_c384_r4.json, reproduce with "
+            "BENCH_BUDGET_S=900 python bench.py)"
         )
 
     _DONE.set()

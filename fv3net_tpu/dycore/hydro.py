@@ -211,6 +211,8 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
         new, (fx, fy, crx, cry) = _substep_core(
             state, state, m, dt, ptop, hord, d2_damp, phis
         )
+    if mfx_acc is None:  # tracer-free run: no accumulation carried
+        return new, (None, None, None, None)
     return new, (mfx_acc + fx, mfy_acc + fy, cx_acc + crx, cy_acc + cry)
 
 
@@ -591,6 +593,7 @@ def make_dycore_stepper(
     metric_cwinds: bool = True,
     metric_ke: bool = True,
     corner_damp: bool = True,
+    donate: bool = False,
 ):
     """Build a jitted full dycore step (dynamics + vertical remap).
 
@@ -633,7 +636,15 @@ def make_dycore_stepper(
         n_split, hord, kord, d2_damp, ptop, dtype, remat,
     )
 
-    @partial(jax.jit, static_argnames=("nsteps",))
+    # donate=True aliases the input state buffers into the outputs
+    # (saves one full state copy of HBM; at C384 x 63 that is ~1.3 GB).
+    # Off by default: callers that reuse the input after stepping
+    # (tests, conservation checks) must keep their buffers.
+    @partial(
+        jax.jit,
+        static_argnames=("nsteps",),
+        donate_argnums=(0,) if donate else (),
+    )
     def run(state: DycoreState, phis, nsteps: int):
         def body(s, _):
             return one_dt(s, phis), None
@@ -660,22 +671,31 @@ def build_one_dt(m, ak, bk, nz, dt_atmos, k_split, n_split, hord, kord,
 
     def one_dt(state: DycoreState, phis):
         nface = state.delp.shape[0]
+        need_acc = state.q is not None
 
         def outer(st, _):
-            # derive the flux accumulators from the state so that under
-            # shard_map they carry the same varying-axis type as the
-            # scan outputs (a literal jnp.zeros would be "replicated")
-            zero_f = jnp.zeros((nface, nz, N, N), dtype) + (
-                0.0 * st.delp[:, :, :1, :1]
-            ).astype(dtype)
-            acc = (zero_f, zero_f, zero_f, zero_f)
+            # flux accumulators feed ONLY the tracer transport: carrying
+            # them with no tracers wastes 4 padded-field scan slots
+            # (3.7 GB at C384 x 63 — the difference between fitting in
+            # one chip's HBM and not).  When present they are derived
+            # from the state so that under shard_map they carry the
+            # same varying-axis type as the scan outputs (a literal
+            # jnp.zeros would be "replicated").
+            if need_acc:
+                zero_f = jnp.zeros((nface, nz, N, N), dtype) + (
+                    0.0 * st.delp[:, :, :1, :1]
+                ).astype(dtype)
+                acc = (zero_f, zero_f, zero_f, zero_f)
+            else:
+                acc = None
 
             def inner(carry, __):
                 s, a = carry
                 s2, a2 = dyn_substep(
-                    s, m, dt_sub, ptop, hord, d2_damp, phis, *a
+                    s, m, dt_sub, ptop, hord, d2_damp, phis,
+                    *(a if a is not None else (None,) * 4)
                 )
-                return (s2, a2), None
+                return (s2, a2 if a is not None else None), None
 
             if remat:
                 inner = jax.checkpoint(inner)
@@ -683,7 +703,7 @@ def build_one_dt(m, ak, bk, nz, dt_atmos, k_split, n_split, hord, kord,
             (st2, acc), _ = jax.lax.scan(
                 inner, (st, acc), None, length=n_split
             )
-            mfx, mfy, cxa, cya = acc
+            mfx, mfy, cxa, cya = acc if acc is not None else (None,) * 4
             # tracer transport with accumulated mass fluxes
             if st2.q is not None:
                 dp0x = halo_exchange(st.delp, h, fill="x")

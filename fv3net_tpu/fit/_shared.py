@@ -18,6 +18,8 @@ from typing import Callable, Dict, Iterable, Mapping, Sequence
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..util.quantity import Quantity
 
 State = Mapping[str, Quantity]
@@ -133,13 +135,26 @@ class ArrayPacker:
         self._feature_counts: Dict[str, int] = {}
 
     def to_array(self, state: State) -> np.ndarray:
+        # namespace-preserving: jax-array states stay on DEVICE (the
+        # coupled hot path -- a host round trip of full C48 fields
+        # costs ~1.4 s/step over the tunneled TPU), numpy states stay
+        # numpy (sklearn trainers need real ndarrays)
+        import jax as _jax
+
         blocks = []
+        any_jax = False
         for name in self.names:
             q = state[name]
-            arr = np.asarray(q.values)
+            arr = q.values
+            if isinstance(arr, _jax.Array):
+                any_jax = True
+                xp = jnp
+            else:
+                arr = np.asarray(arr)
+                xp = np
             if arr.ndim == 4:  # [tile, z, y, x]
                 nz = arr.shape[1]
-                block = np.moveaxis(arr, 1, -1).reshape(-1, nz)
+                block = xp.moveaxis(arr, 1, -1).reshape(-1, nz)
             elif arr.ndim == 3:  # [tile, y, x]
                 block = arr.reshape(-1, 1)
             elif arr.ndim == 2:  # already [sample, feature]
@@ -148,7 +163,8 @@ class ArrayPacker:
                 raise ValueError(f"bad rank for {name}: {arr.shape}")
             self._feature_counts[name] = block.shape[1]
             blocks.append(block)
-        return np.concatenate(blocks, axis=1)
+        xp = jnp if any_jax else np
+        return xp.concatenate(blocks, axis=1)
 
     def to_state(
         self, array: np.ndarray, template: State
@@ -165,7 +181,10 @@ class ArrayPacker:
                 arr = block.reshape(
                     tshape[0], tshape[2], tshape[3], tshape[1]
                 )
-                arr = np.moveaxis(arr, -1, 1)
+                import jax as _jax
+
+                xp = jnp if isinstance(arr, _jax.Array) else np
+                arr = xp.moveaxis(arr, -1, 1)
             elif len(tshape) == 3:
                 arr = block.reshape(tshape)
             else:

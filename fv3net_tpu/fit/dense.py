@@ -63,13 +63,77 @@ class DenseModel(Predictor):
         )
 
     def predict(self, X):
+        ref = X[self.input_variables[0]]
+        if isinstance(getattr(ref, "values", None), jax.Array):
+            return self._predict_on_device(X)
         x = self.packer_in.to_array(X)
         xn = self.scaler_in.normalize(x)
-        yn = np.asarray(self._apply(self.params, jnp.asarray(
-            xn, jnp.float32
-        )))
+        yn = np.asarray(
+            self._apply(self.params, jnp.asarray(xn, jnp.float32))
+        )
         y = self.scaler_out.denormalize(yn)
         return self.packer_out.to_state(y, self._templates(X))
+
+    def _predict_on_device(self, X):
+        """Whole pack->normalize->MLP->denormalize->unpack chain as ONE
+        jitted call: jax-array states (the coupled TimeLoop's ML
+        stepper) never bounce through the host, and — crucial on the
+        tunneled TPU — never dispatch eager per-op round trips
+        (measured 2.7 s/step eager vs ~10 ms jitted at C48)."""
+        if not hasattr(self, "_dev_fn"):
+
+            def fn(params, arrs):
+                blocks = []
+                for name in self.input_variables:
+                    a = arrs[name]
+                    if a.ndim == 4:
+                        blocks.append(
+                            jnp.moveaxis(a, 1, -1).reshape(
+                                -1, a.shape[1]
+                            )
+                        )
+                    elif a.ndim == 3:
+                        blocks.append(a.reshape(-1, 1))
+                    else:
+                        blocks.append(a)
+                x = jnp.concatenate(blocks, axis=1)
+                xn = (
+                    x - jnp.asarray(self.scaler_in.mean)
+                ) / jnp.asarray(self.scaler_in.std)
+                yn = self.module.apply(
+                    {"params": params}, xn.astype(jnp.float32)
+                )
+                y = yn * jnp.asarray(
+                    self.scaler_out.std, jnp.float32
+                ) + jnp.asarray(self.scaler_out.mean, jnp.float32)
+                out = {}
+                i = 0
+                ref = arrs[self.input_variables[0]]
+                for name in self.output_variables:
+                    w = self.packer_out._feature_counts[name]
+                    block = y[:, i : i + w]
+                    i += w
+                    if ref.ndim == 4 and w > 1:
+                        t, _, yy, xx = ref.shape
+                        out[name] = jnp.moveaxis(
+                            block.reshape(t, yy, xx, w), -1, 1
+                        )
+                    elif ref.ndim == 4:
+                        t, _, yy, xx = ref.shape
+                        out[name] = block.reshape(t, yy, xx)
+                    else:
+                        out[name] = block
+                return out
+
+            self._dev_fn = jax.jit(fn)
+        arrs = {
+            k: X[k].values for k in self.input_variables
+        }
+        outs = self._dev_fn(self.params, arrs)
+        templates = self._templates(X)
+        return {
+            k: templates[k].with_data(v) for k, v in outs.items()
+        }
 
     def _templates(self, X):
         from ..util.quantity import Quantity

@@ -189,6 +189,14 @@ def fv_tp_2d_pallas(qp_x, qp_y, crx, cry, xfx, yfx, area_px, area_py,
         else field_spec
     )
     out_shape = jax.ShapeDtypeStruct(qp_x.shape, qp_x.dtype)
+    # At C384 (N=390 -> 512-lane tiles, ~800 KB per slab) even zb=1
+    # exceeds the default 16 MB scoped-VMEM budget; raise the Mosaic
+    # limit for wide grids (v5e carries 128 MB of VMEM per core).
+    params = None
+    if N > 256:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     fx, fy = pl.pallas_call(
         functools.partial(
             _tp2d_kernel, hord=hord, area_is_3d=area_is_3d
@@ -198,5 +206,6 @@ def fv_tp_2d_pallas(qp_x, qp_y, crx, cry, xfx, yfx, area_px, area_py,
         out_specs=(field_spec, field_spec),
         out_shape=(out_shape, out_shape),
         interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
     )(qp_x, qp_y, crx, cry, xfx, yfx, apx, apy)
     return fx, fy

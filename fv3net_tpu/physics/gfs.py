@@ -66,6 +66,10 @@ class GFSPhysicsConfig:
     do_pbl: bool = True
     do_surface: bool = True
     do_microphysics: bool = True
+    # "zhao_carr" (gscond+precpd, the default suite) or "gfdl"
+    # (6-category bulk scheme, physics/gfdl_mp.py -- the reference
+    # namelist's GFDL cloud microphysics role)
+    microphysics_scheme: str = "zhao_carr"
 
 
 # --------------------------------------------------------------------------
@@ -482,8 +486,36 @@ def gfs_physics_step(
 
     precip_ls = jnp.zeros(shape2d, t.dtype)
     if cfg.do_microphysics:
-        t, qv, qc = gscond(t, qv, qc, p, dt)
-        t, qv, qc, precip_ls = precpd(t, qv, qc, p, delp, dt, cfg)
+        if cfg.microphysics_scheme == "gfdl":
+            from .gfdl_mp import (
+                gfdl_cloud_microphysics,
+                liquid_fraction,
+            )
+
+            fl = liquid_fraction(t)
+            zero = jnp.zeros_like(qc)
+            mp_state, mp_diags = gfdl_cloud_microphysics(
+                t, qv, fl * qc, (1.0 - fl) * qc, zero, zero, zero,
+                p, delp, dz, dt,
+            )
+            t = mp_state["air_temperature"]
+            qv = mp_state["specific_humidity"]
+            # the suite carries 2 tracers: fold all suspended
+            # condensate back into qc (water-conserving; the full
+            # 7-tracer state is the scheme's native interface)
+            qc = (
+                mp_state["cloud_water_mixing_ratio"]
+                + mp_state["cloud_ice_mixing_ratio"]
+                + mp_state["rain_mixing_ratio"]
+                + mp_state["snow_mixing_ratio"]
+                + mp_state["graupel_mixing_ratio"]
+            )
+            precip_ls = mp_diags["total_precipitation_mp"]
+        else:
+            t, qv, qc = gscond(t, qv, qc, p, dt)
+            t, qv, qc, precip_ls = precpd(
+                t, qv, qc, p, delp, dt, cfg
+            )
 
     state = {
         "air_temperature": t,

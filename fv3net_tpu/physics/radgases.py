@@ -75,14 +75,64 @@ class GasConcentrations:
 
 
 def default_o3_profile(p_lay):
-    """Crude climatological ozone mass mixing ratio on pressure levels
-    (stands in for the reference's ozone climatology files): peaked in
-    the stratosphere around 10-30 hPa.  jnp-traceable."""
+    """Global-mean climatological ozone mass mixing ratio on pressure
+    levels: peaked in the stratosphere around 10-30 hPa.
+    jnp-traceable.  Prefer ozone_climatology (lat/season structure)."""
     import jax.numpy as jnp
 
     logp = jnp.log(jnp.maximum(p_lay, 1.0))
     peak = jnp.exp(-0.5 * ((logp - np.log(2.0e3)) / 0.9) ** 2)
     return 1.0e-5 * peak + 3.0e-8
+
+
+def ozone_climatology(p_lay, lat_deg, doy):
+    """Latitude/season-dependent ozone climatology (the role of the
+    reference's `ozprdlc` climatology files read by GasClass/getozn,
+    external/radiation/radiation/radiation_gases.py; data files are
+    not shipped in this environment, so the observed structure is
+    encoded analytically):
+
+    * total-column: ~260 DU in the tropics rising to ~380 DU at high
+      latitudes, with a spring maximum in each hemisphere (+/- ~12%%
+      peaking around day 105 / 288);
+    * profile: the stratospheric peak sits near 8 hPa over the equator
+      and descends to ~30 hPa toward the poles, with a broader peak at
+      high latitude;
+    * a small tropospheric background (~30 ppbm).
+
+    p_lay [.., nz, ..] Pa; lat_deg broadcastable to the horizontal
+    dims; doy day-of-year (scalar).  Returns mass mixing ratio with
+    p_lay's shape.  jnp-traceable (jittable inside the driver).
+    """
+    import jax.numpy as jnp
+
+    lat = jnp.deg2rad(lat_deg)
+    if jnp.ndim(lat) == p_lay.ndim - 1:
+        lat = lat[:, None]  # broadcast over the level axis
+    sin2 = jnp.sin(lat) ** 2
+    # peak pressure: 8 hPa (equator) -> ~30 hPa (poles)
+    p_peak = 800.0 * (1.0 + 2.75 * sin2)
+    width = 0.85 + 0.35 * sin2  # broader poleward
+    logp = jnp.log(jnp.maximum(p_lay, 1.0))
+    shape = jnp.exp(
+        -0.5 * ((logp - jnp.log(p_peak)) / width) ** 2
+    )
+    # column amount: latitude + spring-maximum seasonal cycle
+    phase_n = jnp.cos(2.0 * jnp.pi * (doy - 105.0) / 365.25)
+    phase_s = jnp.cos(2.0 * jnp.pi * (doy - 288.0) / 365.25)
+    seasonal = jnp.where(lat >= 0.0, phase_n, phase_s)
+    column = (1.0 + 0.45 * sin2) * (
+        1.0 + 0.12 * seasonal * jnp.abs(jnp.sin(lat))
+    )
+    return 1.0e-5 * column * shape + 3.0e-8
+
+
+def co2_for_year(year: float) -> float:
+    """Secular CO2 trend in ppmv (the GasClass `ico2flg=1` observed
+    global-annual-mean role, radiation_gases.py): anchored at
+    ~354 ppmv in 1990 with the observed accelerating growth."""
+    dy = float(year) - 1990.0
+    return 354.0 + 1.9 * dy + 0.011 * dy * dy
 
 
 def absorber_paths(delp, sphum, o3mmr, co2mmr):

@@ -17,7 +17,7 @@ import dataclasses
 import datetime
 from typing import Mapping
 
-import numpy as np
+import jax.numpy as np  # noqa: jnp under the reference's np spelling
 
 from ..constants import CP_AIR, GRAV
 from ..utils.zenith import cos_zenith_angle
@@ -126,7 +126,7 @@ class MultibandRadiationDriver:
         import jax
 
         from . import radlw, radsw
-        from .radgases import GasConcentrations, default_o3_profile
+        from .radgases import GasConcentrations, ozone_climatology
 
         # albedo=None (default): the zenith/type/snow-dependent scheme
         # (radsurface.surface_albedo, the setalb role); a float pins a
@@ -135,7 +135,7 @@ class MultibandRadiationDriver:
         gases = GasConcentrations(co2_ppmv=co2_ppmv)
         self._sw = radsw.RadSWClass(gases=gases)
         self._lw = radlw.RadLWClass(gases=gases)
-        self._o3 = default_o3_profile
+        self._o3 = ozone_climatology
         self._solcon = SOLAR_CONSTANT
         self._doy = 1.0
         self._jit = jax.jit(self._compute)
@@ -157,7 +157,7 @@ class MultibandRadiationDriver:
         from .radsurface import surface_albedo, surface_emissivity
         from ..utils.thermo import relative_humidity_from_pressure
 
-        o3 = self._o3(p_lay)
+        o3 = self._o3(p_lay, lat_deg, doy)
         rh = relative_humidity_from_pressure(temp, sphum, p_lay)
         cf = cloud_fraction_from_rh(rh)
 

@@ -6,13 +6,14 @@ saturation adjustment is a Zhao-Carr-style large-scale condensation --
 the same physics family the reference's microphysics emulators replace
 via call_py_fort hooks (external/emulation/README.md:9-24) -- so the
 online-emulation machinery has a real process to substitute.
-Numpy implementations (host-side physics; the JAX ports move on-device
-with the full physics milestone).
+JAX implementations: the wrapper drives them jitted on-device — the
+coupling hot path must not bounce through host numpy (SURVEY hard
+part 6; tests/test_runtime.py::test_simple_suite_physics_on_device).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import jax.numpy as jnp
 
 from ..constants import (
     CP_AIR,
@@ -35,33 +36,33 @@ def held_suarez_tendencies(temp, u, v, pe, lat, dt):
     p_lay = 0.5 * (pe[:, 1:] + pe[:, :-1])
     ps = pe[:, -1:]
     sigma = p_lay / ps
-    coslat = np.cos(lat)[:, None]
-    sinlat = np.sin(lat)[:, None]
+    coslat = jnp.cos(lat)[:, None]
+    sinlat = jnp.sin(lat)[:, None]
 
     # equilibrium temperature
     p0 = 1.0e5
     t_eq = (315.0 - 60.0 * sinlat ** 2
-            - 10.0 * np.log(p_lay / p0) * coslat ** 2) * (
+            - 10.0 * jnp.log(p_lay / p0) * coslat ** 2) * (
         p_lay / p0
     ) ** (RDGAS / CP_AIR)
-    t_eq = np.maximum(200.0, t_eq)
+    t_eq = jnp.maximum(200.0, t_eq)
 
     k_a = 1.0 / (40.0 * SEC_PER_DAY)
     k_s = 1.0 / (4.0 * SEC_PER_DAY)
     k_f = 1.0 / SEC_PER_DAY
     sigma_b = 0.7
-    wt = np.clip((sigma - sigma_b) / (1.0 - sigma_b), 0.0, 1.0)
+    wt = jnp.clip((sigma - sigma_b) / (1.0 - sigma_b), 0.0, 1.0)
     k_t = k_a + (k_s - k_a) * wt * coslat ** 4
     dT = -k_t * (temp - t_eq) * dt
 
     # Rayleigh friction below sigma_b (approximate sigma at wind points
     # by the cell values averaged to edges)
     k_v = k_f * wt  # [6, nz, n, n]
-    kv_u = np.concatenate(
+    kv_u = jnp.concatenate(
         [k_v[:, :, :1], 0.5 * (k_v[:, :, 1:] + k_v[:, :, :-1]),
          k_v[:, :, -1:]], axis=2,
     )
-    kv_v = np.concatenate(
+    kv_v = jnp.concatenate(
         [k_v[:, :, :, :1], 0.5 * (k_v[:, :, :, 1:] + k_v[:, :, :, :-1]),
          k_v[:, :, :, -1:]], axis=3,
     )
@@ -73,13 +74,13 @@ def held_suarez_tendencies(temp, u, v, pe, lat, dt):
 def saturation_vapor_pressure(temp):
     """Bolton-style es(T) over liquid (Pa)."""
     tc = temp - 273.15
-    return 611.2 * np.exp(17.67 * tc / (tc + 243.5))
+    return 611.2 * jnp.exp(17.67 * tc / (tc + 243.5))
 
 
 def saturation_specific_humidity(temp, p):
     es = saturation_vapor_pressure(temp)
     eps = RDGAS / RVGAS
-    es = np.minimum(es, 0.99 * p)
+    es = jnp.minimum(es, 0.99 * p)
     return eps * es / (p - (1.0 - eps) * es)
 
 
@@ -98,14 +99,14 @@ def saturation_adjustment(temp, qv, qc, p_lay, delp, dt,
         qs = saturation_specific_humidity(temp, p_lay)
         dqsdT = qs * 17.67 * 243.5 / (temp - 273.15 + 243.5) ** 2
         excess = (qv - qs) / (1.0 + lv_cp * dqsdT)
-        cond = np.where(excess > 0.0, excess, 0.0)
+        cond = jnp.where(excess > 0.0, excess, 0.0)
         # evaporation of cloud where subsaturated
-        evap = np.where(excess < 0.0, np.minimum(qc, -excess), 0.0)
+        evap = jnp.where(excess < 0.0, jnp.minimum(qc, -excess), 0.0)
         qv = qv - cond + evap
         qc = qc + cond - evap
         temp = temp + lv_cp * (cond - evap)
     # autoconversion to precipitation
-    rain = qc * (1.0 - np.exp(-dt / tau_autoconv))
+    rain = qc * (1.0 - jnp.exp(-dt / tau_autoconv))
     qc = qc - rain
     precip = (rain * delp / GRAV).sum(axis=1)  # column integral kg/m^2
     return temp, qv, qc, precip

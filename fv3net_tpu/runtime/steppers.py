@@ -23,17 +23,18 @@ SPHUM = names.SPHUM
 TEMP = names.TEMP
 
 
-def non_negative_sphum(
-    sphum: np.ndarray, dQ1: np.ndarray, dQ2: np.ndarray, dt: float
-):
+def non_negative_sphum(sphum, dQ1, dQ2, dt: float):
     """Moist-static-energy-conserving humidity limiter
     (runtime/steppers/machine_learning.py:67-101): where the predicted
     dQ2 would drive humidity negative, reduce it and compensate dQ1 so
-    cp*dQ1 + Lv*dQ2 is unchanged."""
+    cp*dQ1 + Lv*dQ2 is unchanged.  jnp (device-resident; jitted by the
+    ML stepper so the coupled hot path stays on the accelerator)."""
+    import jax.numpy as jnp
+
     delta = dQ2 * dt
-    reduction_ratio = np.where(
+    reduction_ratio = jnp.where(
         (delta < 0) & (sphum + delta < 0),
-        np.clip(-sphum / np.where(delta != 0, delta, 1.0), 0.0, 1.0),
+        jnp.clip(-sphum / jnp.where(delta != 0, delta, 1.0), 0.0, 1.0),
         1.0,
     )
     dQ2_limited = dQ2 * reduction_ratio
@@ -134,11 +135,15 @@ class PureMLStepper:
             and "dQ1" in tendencies
             and "dQ2" in tendencies
         ):
-            dq1, dq2 = non_negative_sphum(
-                state[SPHUM].values,
-                np.asarray(tendencies["dQ1"].data),
-                np.asarray(tendencies["dQ2"].data),
-                self.dt,
+            import jax as _jax
+
+            dq1, dq2 = _jax.jit(
+                non_negative_sphum, static_argnames=("dt",)
+            )(
+                state[SPHUM].data,
+                tendencies["dQ1"].data,
+                tendencies["dQ2"].data,
+                dt=self.dt,
             )
             tendencies["dQ1"] = tendencies["dQ1"].with_data(dq1)
             tendencies["dQ2"] = tendencies["dQ2"].with_data(dq2)

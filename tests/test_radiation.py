@@ -258,3 +258,74 @@ def test_gray_driver_still_works():
         temp, sphum, tsfc,
     )
     assert out["shortwave_heating_rate"].shape == (6, nz, n, n)
+
+
+def test_ozone_climatology_structure():
+    """Latitude/season structure of the gas climatology
+    (radiation_gases.py getozn role; VERDICT r3 item 7)."""
+    import jax.numpy as jnp
+
+    from fv3net_tpu.physics.radgases import (
+        co2_for_year,
+        ozone_climatology,
+    )
+
+    nz = 40
+    p1d = jnp.asarray(np.logspace(2, 5, nz), jnp.float32)
+    p = jnp.broadcast_to(p1d[None, :, None, None], (6, nz, 2, 2))
+    lat_eq = jnp.zeros((6, 2, 2))
+    lat_60 = jnp.full((6, 2, 2), 60.0)
+
+    o3_eq = np.asarray(ozone_climatology(p, lat_eq, 105.0))
+    o3_60 = np.asarray(ozone_climatology(p, lat_60, 105.0))
+    # stratospheric peak below 100 hPa pressure, above 1 hPa
+    k_eq = o3_eq[0, :, 0, 0].argmax()
+    assert 3e2 < float(p1d[k_eq]) < 1e4
+    # peak descends (higher pressure) toward the pole
+    k_60 = o3_60[0, :, 0, 0].argmax()
+    assert float(p1d[k_60]) > float(p1d[k_eq])
+    # column increases poleward
+    col = lambda o3: (o3 * np.gradient(np.asarray(p1d))[
+        None, :, None, None]).sum(1)
+    assert col(o3_60).mean() > 1.1 * col(o3_eq).mean()
+    # NH spring maximum vs fall minimum at 60N
+    o3_spring = col(np.asarray(ozone_climatology(p, lat_60, 105.0)))
+    o3_fall = col(np.asarray(ozone_climatology(p, lat_60, 288.0)))
+    assert o3_spring.mean() > o3_fall.mean()
+    # CO2 secular trend
+    assert 350 < co2_for_year(1990) < 360
+    assert 415 < co2_for_year(2020) < 425
+    assert co2_for_year(2026) > co2_for_year(2020)
+
+
+def test_multiband_driver_with_climatology_runs():
+    import datetime
+
+    from fv3net_tpu.physics.radiation import MultibandRadiationDriver
+
+    nz, n = 10, 3
+    rng = np.random.RandomState(0)
+    p1d = np.linspace(3e3, 1e5, nz)
+    shape = (6, nz, n, n)
+    p_lay = np.broadcast_to(
+        p1d[None, :, None, None], shape
+    ).astype(np.float32)
+    delp = np.broadcast_to(
+        np.gradient(p1d)[None, :, None, None], shape
+    ).astype(np.float32)
+    temp = (
+        300.0 - 50.0 * (1 - p_lay / 1e5)
+    ).astype(np.float32)
+    sphum = (0.01 * (p_lay / 1e5) ** 2).astype(np.float32)
+    drv = MultibandRadiationDriver()
+    drv.radupdate(datetime.datetime(2016, 8, 1))
+    out = drv.gfs_radiation_driver(
+        datetime.datetime(2016, 8, 1, 12),
+        np.zeros((6, n, n)), np.zeros((6, n, n)) + 15.0,
+        p_lay, delp, temp, sphum,
+        np.full((6, n, n), 300.0, np.float32),
+    )
+    olr = np.asarray(
+        out["total_sky_upward_longwave_flux_at_top_of_atmosphere"]
+    )
+    assert np.isfinite(olr).all() and 100 < olr.mean() < 350
