@@ -846,31 +846,104 @@ def average_dgrid_boundary(u, v):
     return uo, vo
 
 
+def _pool_strip_partner(u, v, idx, coef, rows_a, cols_a, rows_b,
+                        cols_b):
+    """Gather partner values for a boundary STRIP without building the
+    full flat pool (the r3 full-field pool+take was ~17 ms/call at
+    C192 on TPU; the moveaxis to line up the take axis another ~11 ms).
+
+    idx/coef: numpy strip tables of shape [6, R, C] (flat pool indices
+    into [u; v]); u [6, *lead, rows_a, cols_a].  Returns the strip of
+    partner*coef with shape [6, *lead, R, C] via advanced-index
+    gathers batched over the lead dims.
+    """
+    decode = _pool_decode2(rows_a, cols_a, rows_b, cols_b)
+    seg, f, r, c = decode(np.asarray(idx))
+    lead = u.ndim - 3
+
+    def take(arr, rr, cc):
+        # advanced indices (f, rr, cc) with the lead slice between ->
+        # result [6, R, C, *lead]; strips are tiny so the reorder is
+        # cheap
+        res = arr[
+            (jnp.asarray(f), Ellipsis, jnp.asarray(rr),
+             jnp.asarray(cc))
+        ]
+        # advanced dims land first: [6, R, C, *lead] -> [6, *lead, R, C]
+        return (
+            jnp.moveaxis(res, (1, 2), (-2, -1)) if lead else res
+        )
+
+    # clamp out-of-segment rows/cols so both gathers are valid, then
+    # select by segment
+    ru = np.where(seg == 0, r, 0)
+    cu = np.where(seg == 0, c, 0)
+    rv = np.where(seg == 1, r, 0)
+    cv = np.where(seg == 1, c, 0)
+    pu = take(u, ru, cu)
+    pv = take(v, rv, cv)
+    segb = jnp.asarray((seg == 0))
+    if lead:
+        segb = segb.reshape(
+            (6,) + (1,) * lead + seg.shape[1:]
+        )
+        coefb = jnp.asarray(coef).reshape(
+            (6,) + (1,) * lead + seg.shape[1:]
+        )
+    else:
+        coefb = jnp.asarray(coef)
+    return jnp.where(segb, pu, pv) * coefb.astype(u.dtype)
+
+
 def _average_dgrid_boundary_gather(u, v):
+    """Strip-form shared-edge averaging (replacements live only on u's
+    first/last row and v's first/last column -- verified against the
+    tables)."""
     n = u.shape[-1]
     (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask) = (
         _dgrid_boundary_pair_tables(n)
     )
-    usrc = jnp.moveaxis(u, 0, -3)
-    vsrc = jnp.moveaxis(v, 0, -3)
-    pool = jnp.concatenate(
+    u_idx, u_sign, u_mask, v_idx, v_sign, v_mask = (
+        np.asarray(a)
+        for a in (u_idx, u_sign, u_mask, v_idx, v_sign, v_mask)
+    )
+    ra, ca, rb, cb = n + 1, n, n, n + 1
+    lead = u.ndim - 3
+
+    def bcast(m):
+        return jnp.asarray(m).reshape(
+            m.shape[:1] + (1,) * lead + m.shape[1:]
+        )
+
+    def strip_avg(own, idx, sign, mask):
+        partner = _pool_strip_partner(
+            u, v, idx, sign, ra, ca, rb, cb
+        )
+        return jnp.where(
+            bcast(mask), 0.5 * (own + partner), own
+        )
+
+    uo = jnp.concatenate(
         [
-            usrc.reshape(usrc.shape[:-3] + (-1,)),
-            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
+            strip_avg(u[..., :1, :], u_idx[:, :1, :],
+                      u_sign[:, :1, :], u_mask[:, :1, :]),
+            u[..., 1:-1, :],
+            strip_avg(u[..., -1:, :], u_idx[:, -1:, :],
+                      u_sign[:, -1:, :], u_mask[:, -1:, :]),
+        ],
+        axis=-2,
+    )
+    vo = jnp.concatenate(
+        [
+            strip_avg(v[..., :, :1], v_idx[:, :, :1],
+                      v_sign[:, :, :1], v_mask[:, :, :1]),
+            v[..., :, 1:-1],
+            strip_avg(v[..., :, -1:], v_idx[:, :, -1:],
+                      v_sign[:, :, -1:], v_mask[:, :, -1:]),
         ],
         axis=-1,
     )
-
-    def apply(src, idx, sign, mask):
-        partner = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
-            sign, src.dtype
-        )
-        avg = 0.5 * (src + partner)
-        return jnp.where(jnp.asarray(mask), avg, src)
-
-    uo = apply(usrc, u_idx, u_sign, u_mask)
-    vo = apply(vsrc, v_idx, v_sign, v_mask)
-    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
+    return uo, vo
 
 
 def canonicalize_cgrid_boundary(uc, vc):
@@ -903,29 +976,54 @@ def canonicalize_cgrid_boundary(uc, vc):
 
 
 def _canonicalize_cgrid_boundary_gather(uc, vc):
+    """Strip-form: replacements live ONLY on the first/last column of
+    uc and first/last row of vc (verified against the tables), so the
+    gathers are strip-sized and the interior passes through by
+    concatenation.  The r3 form gathered over the FULL field — 16 ms
+    per call at C192 on TPU, and its autodiff transpose a full-field
+    scatter-add (another ~6 ms); this form is ~1 ms with strip-sized
+    adjoints."""
     n = uc.shape[-2]
     (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep) = (
         _cgrid_boundary_canon_tables(n)
     )
-    usrc = jnp.moveaxis(uc, 0, -3)
-    vsrc = jnp.moveaxis(vc, 0, -3)
-    pool = jnp.concatenate(
+    uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep = (
+        np.asarray(a)
+        for a in (uc_idx, uc_coef, uc_rep, vc_idx, vc_coef, vc_rep)
+    )
+    ra, ca, rb, cb = n, n + 1, n + 1, n
+    lead = uc.ndim - 3
+
+    def bcast(m):
+        return jnp.asarray(m).reshape(
+            m.shape[:1] + (1,) * lead + m.shape[1:]
+        )
+
+    def strip_canon(own, idx, coef, rep):
+        repl = _pool_strip_partner(uc, vc, idx, coef, ra, ca, rb, cb)
+        return jnp.where(bcast(rep), repl, own)
+
+    uo = jnp.concatenate(
         [
-            usrc.reshape(usrc.shape[:-3] + (-1,)),
-            vsrc.reshape(vsrc.shape[:-3] + (-1,)),
+            strip_canon(uc[..., :, :1], uc_idx[:, :, :1],
+                        uc_coef[:, :, :1], uc_rep[:, :, :1]),
+            uc[..., :, 1:-1],
+            strip_canon(uc[..., :, -1:], uc_idx[:, :, -1:],
+                        uc_coef[:, :, -1:], uc_rep[:, :, -1:]),
         ],
         axis=-1,
     )
-
-    def apply(src, idx, coef, rep):
-        repl = jnp.take(pool, jnp.asarray(idx), axis=-1) * jnp.asarray(
-            coef, src.dtype
-        )
-        return jnp.where(jnp.asarray(rep), repl, src)
-
-    uo = apply(usrc, uc_idx, uc_coef, uc_rep)
-    vo = apply(vsrc, vc_idx, vc_coef, vc_rep)
-    return jnp.moveaxis(uo, -3, 0), jnp.moveaxis(vo, -3, 0)
+    vo = jnp.concatenate(
+        [
+            strip_canon(vc[..., :1, :], vc_idx[:, :1, :],
+                        vc_coef[:, :1, :], vc_rep[:, :1, :]),
+            vc[..., 1:-1, :],
+            strip_canon(vc[..., -1:, :], vc_idx[:, -1:, :],
+                        vc_coef[:, -1:, :], vc_rep[:, -1:, :]),
+        ],
+        axis=-2,
+    )
+    return uo, vo
 
 
 def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):

@@ -86,8 +86,11 @@ class AerosolClimatology:
     scale_height_pa: float = 2.0e4  # e-folding depth in pressure
     ssa: float = 0.95
     asy: float = 0.70
-    # per-SW-band scaling of the 550nm AOD (Angstrom exponent ~1.3)
-    band_scale: tuple = (2.1, 1.0, 0.55, 0.33, 0.21, 0.13)
+    # per-SW-band scaling of the 550nm AOD: (lambda/0.55um)^-1.3
+    # (Angstrom exponent ~1.3) at the 12-band centers of
+    # radgases.SW_BAND_RANGE_UM
+    band_scale: tuple = (2.79, 1.67, 1.13, 0.84, 0.64, 0.51,
+                         0.39, 0.29, 0.20, 0.14, 0.10, 0.057)
     # lat/season climatology (radiation_aerosols climatology role)
     aod_background: float = 0.06  # clean maritime
     aod_belt: float = 0.22  # NH dust/pollution belt amplitude

@@ -51,14 +51,51 @@ LW_K_O3 = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 28.0, 0.0, 0.0])
 # water-vapor self-continuum (scaled by vapor path * vapor pressure)
 LW_K_SELF = np.array([4.0, 2.2, 0.6, 0.7, 0.55, 0.30, 0.26, 0.65])
 
-# --- SW band structure: 6 bands (UV/vis + near-IR groupings) ----------
+# --- SW band structure: 12 bands toward the RRTMG 14-band layout ------
+# (radsw_main.py band groupings; r3 carried 6 bands, r4 splits each in
+# two with physically-motivated sub-band optics: the Hartley/Huggins
+# vs Chappuis ozone separation, the 0.94/1.1/1.38/1.87/2.7 um water
+# band ladder, lambda^-4 Rayleigh within each pair.  Pairwise sums
+# preserve the validated 6-band fractions.)
+# approximate wavelength ranges (um), documentation only
+SW_BAND_RANGE_UM = np.array(
+    [
+        [0.20, 0.30],  # UV-C/B: O3 Hartley
+        [0.30, 0.44],  # UV-A: O3 Huggins
+        [0.44, 0.56],  # blue-green
+        [0.56, 0.70],  # red: O3 Chappuis
+        [0.70, 0.85],  # NIR window
+        [0.85, 1.00],  # 0.94 um H2O
+        [1.00, 1.25],  # 1.1 um H2O
+        [1.25, 1.60],  # 1.38 um H2O (strong)
+        [1.60, 2.15],  # 1.87 um H2O
+        [2.15, 2.90],  # 2.7 um H2O/CO2
+        [2.90, 3.40],  # 3.2 um H2O
+        [3.40, 12.2],  # solar tail
+    ]
+)
 # fraction of TOA solar irradiance per band (sums to 1)
-SW_BAND_FRAC = np.array([0.118, 0.357, 0.252, 0.158, 0.082, 0.033])
-SW_K_H2O = np.array([0.0, 0.0, 0.012, 0.45, 3.2, 22.0])
-SW_K_O3 = np.array([160.0, 5.5, 0.0, 0.0, 0.0, 0.0])
-SW_K_CO2 = np.array([0.0, 0.0, 0.0, 0.004, 0.04, 0.35])
+SW_BAND_FRAC = np.array(
+    [0.035, 0.083, 0.160, 0.197, 0.120, 0.132,
+     0.080, 0.078, 0.045, 0.037, 0.020, 0.013]
+)
+SW_K_H2O = np.array(
+    [0.0, 0.0, 0.0, 0.0, 0.004, 0.02,
+     0.25, 0.70, 2.2, 4.5, 12.0, 38.0]
+)
+SW_K_O3 = np.array(
+    [600.0, 40.0, 3.0, 7.5, 0.0, 0.0,
+     0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+)
+SW_K_CO2 = np.array(
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+     0.0, 0.006, 0.02, 0.07, 0.25, 0.50]
+)
 # Rayleigh optical depth per unit (p/p0) of column, per band
-SW_TAU_RAYLEIGH = np.array([0.30, 0.036, 0.006, 0.0015, 0.0004, 0.0001])
+SW_TAU_RAYLEIGH = np.array(
+    [0.75, 0.22, 0.085, 0.018, 0.009, 0.004,
+     0.0022, 0.0009, 0.0004, 0.00015, 0.00008, 0.00003]
+)
 NBANDS_SW = len(SW_BAND_FRAC)
 
 
