@@ -63,6 +63,9 @@ class GFSPhysicsConfig:
     tau_autoconv: float = 1800.0  # cloud->rain autoconversion time (s)
     evap_rain: float = 2.0e-5   # rain re-evaporation efficiency
     do_convection: bool = True
+    do_shallow_convection: bool = True  # GFS shalcnv role (gwd.py)
+    do_gwd: bool = True  # orographic gravity-wave drag (gwd.py);
+    #                      active only when h_std orography is passed
     do_pbl: bool = True
     do_surface: bool = True
     do_microphysics: bool = True
@@ -412,9 +415,11 @@ def _tendency_to_dgrid(du_a, dv_a):
 def gfs_physics_step(
     t, qv, qc, u_d, v_d, delp, tsfc, ptop, dt,
     cfg: GFSPhysicsConfig = GFSPhysicsConfig(),
+    h_std=None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """One physics step.  Fields [6, nz, n, n] (winds D-grid staggered);
-    returns (new_state, diagnostics)."""
+    h_std: optional subgrid-orography std-dev [6, n, n] enabling the
+    gravity-wave drag.  Returns (new_state, diagnostics)."""
     shape2d = t.shape[:1] + t.shape[2:]
     # flatten horizontal dims so scans see [cols] batches
     nz = t.shape[1]
@@ -483,6 +488,24 @@ def gfs_physics_step(
             )
         else:
             t, qv, precip_conv = betts_miller(t, qv, p, delp, dt, cfg)
+
+    if cfg.do_shallow_convection:
+        from .gwd import shallow_convection
+
+        t, qv, sc_diags = shallow_convection(t, qv, p, delp, dt)
+        diags.update(sc_diags)
+
+    if cfg.do_gwd and h_std is not None:
+        from .gwd import gravity_wave_drag
+
+        ua2, va2 = _to_agrid(u_d, v_d)
+        du_a, dv_a, gwd_diags = gravity_wave_drag(
+            ua2, va2, t, p, delp, h_std, dt
+        )
+        du_d, dv_d = _tendency_to_dgrid(du_a, dv_a)
+        u_d = u_d + du_d
+        v_d = v_d + dv_d
+        diags.update(gwd_diags)
 
     precip_ls = jnp.zeros(shape2d, t.dtype)
     if cfg.do_microphysics:

@@ -163,10 +163,17 @@ def test_full_suite_runs_and_is_finite():
     assert float(diags["sensible_heat_flux"].mean()) != 0.0
     assert float(diags["latent_heat_flux"].mean()) > 0.0
     assert float(diags["planetary_boundary_layer_height"].min()) > 0.0
-    # warm ocean under neutral column -> upward fluxes warm/moisten air
-    assert float(out["specific_humidity"][:, -1].mean()) >= float(
-        qv[:, -1].mean()
-    ) - 1e-6
+    # warm ocean under neutral column -> surface evaporation adds
+    # water to the COLUMN (the surface level itself may dry: shallow
+    # convection mixes the added moisture upward since r4)
+    from fv3net_tpu.constants import GRAV as _G
+
+    col0 = float((qv * delp).sum(axis=1).mean()) / _G
+    col1 = float(
+        (out["specific_humidity"] * delp).sum(axis=1).mean()
+    ) / _G
+    precip = float(diags["total_precipitation"].mean())
+    assert col1 + precip >= col0 - 1e-8
 
 
 @pytest.mark.slow
