@@ -69,7 +69,7 @@ def _watchdog():
                 _RESULT["detail"]["builder_artifacts"] = (
                     "committed warm steady-state measurements: "
                     "bench_c384_r4.json (C384 7246 ms/step), "
-                    "bench_coupled_r4.json (coupled C48 1708 ms); "
+                    "bench_coupled_r4.json (coupled C48 1114 ms); "
                     "C48 61 ms / C192 1207 ms steady-state via "
                     "tools/profile_step.py logs; reproduce with "
                     "BENCH_BUDGET_S=900 python bench.py on a clean "
@@ -177,11 +177,14 @@ def _measure(n, nz, run, state, phis_np, jax, jnp,
         t0 = time.perf_counter()
         for _ in range(k):
             st = run(st, phis, 1)
-        finite = bool(jnp.isfinite(st.delp[0, 0, 0, 0]))
+        # the timing fetch is a cheap corner scalar; the FULL-field
+        # finiteness gate runs after so a partial blow-up (NaNs away
+        # from the corner) cannot be banked as a valid measurement
+        _ = float(st.delp[0, 0, 0, 0])
         batch_ms.append(
             (time.perf_counter() - t0 - rtt) / k * 1e3
         )
-        assert finite, "state blew up"
+    assert bool(jnp.isfinite(st.delp).all()), "state blew up"
     dt = min(batch_ms) / 1e3
     mean = sum(batch_ms) / len(batch_ms)
     spread = (max(batch_ms) - min(batch_ms)) / mean if mean else 0.0

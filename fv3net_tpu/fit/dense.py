@@ -64,7 +64,10 @@ class DenseModel(Predictor):
 
     def predict(self, X):
         ref = X[self.input_variables[0]]
-        if isinstance(getattr(ref, "values", None), jax.Array):
+        # gate on .data (the raw array): .values is ALWAYS numpy
+        # (Quantity.values does np.asarray), so testing it would both
+        # miss device states and pay a device->host copy to find out
+        if isinstance(getattr(ref, "data", None), jax.Array):
             return self._predict_on_device(X)
         x = self.packer_in.to_array(X)
         xn = self.scaler_in.normalize(x)
@@ -127,7 +130,7 @@ class DenseModel(Predictor):
 
             self._dev_fn = jax.jit(fn)
         arrs = {
-            k: X[k].values for k in self.input_variables
+            k: X[k].data for k in self.input_variables
         }
         outs = self._dev_fn(self.params, arrs)
         templates = self._templates(X)

@@ -1042,20 +1042,12 @@ def halo_exchange_cgrid(uc, vc, h: int, fill: str = "y"):
         from ..parallel import halo_spmd as _hs
 
         return _hs.halo_exchange_cgrid_local(uc, vc, h, fill, _SPMD_AXIS)
-    n = uc.shape[-2]
-
-    def fwd(uu, vv):
-        tables = _cgrid_tables(n, h, fill)
-        plan = _cgrid_affine_plans(n, h, fill)
-        return _staggered_strip_exchange(
-            uu, vv, tables, h, n, n + 1, n + 1, n, uu.dtype, plan
-        )
-
-    # linear_call attaches the gather-based transpose so vjp-built
-    # operators (div_damp) avoid autodiff scatter-adds (halo_transpose)
+    # the linear primitive (halo_transpose) runs the strip exchange
+    # forward and a gather-based transpose backward, so vjp-built
+    # operators (div_damp) avoid autodiff scatter-adds
     from .halo_transpose import cgrid_exchange_linear
 
-    return cgrid_exchange_linear(uc, vc, h, fill, fwd)
+    return cgrid_exchange_linear(uc, vc, h, fill)
 
 
 def halo_exchange_dgrid(u, v, h: int):
@@ -1076,20 +1068,11 @@ def halo_exchange_dgrid(u, v, h: int):
         from ..parallel import halo_spmd as _hs
 
         return _hs.halo_exchange_dgrid_local(u, v, h, _SPMD_AXIS)
-    n = u.shape[-1]
-
-    def fwd(uu, vv):
-        tables = _dgrid_tables(n, h)
-        plan = _dgrid_affine_plans(n, h)
-        return _staggered_strip_exchange(
-            uu, vv, tables, h, n + 1, n, n, n + 1, uu.dtype, plan
-        )
-
     # gather-based transpose (see halo_transpose.py): the vjp of a
     # table gather is otherwise a scatter-add, ~20 ms/damper at C192
     from .halo_transpose import dgrid_exchange_linear
 
-    return dgrid_exchange_linear(u, v, h, fwd)
+    return dgrid_exchange_linear(u, v, h)
 
 
 @lru_cache(maxsize=None)

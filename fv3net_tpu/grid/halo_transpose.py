@@ -11,10 +11,12 @@ traffic, no scatters.
 
 This module derives those inverse tables mechanically from the same
 forward tables (grid/halo._dgrid_tables/_cgrid_tables) and registers
-them through ``jax.custom_derivatives.linear_call`` so reverse-mode
+the exchange as a LINEAR PRIMITIVE (``ad.deflinear2``) so reverse-mode
 autodiff uses the fast transpose while forward-mode (jacfwd, used by
 the spectral-radius gates in tests/test_sw.py) still works — the
-exchange is linear, so its jvp is itself.
+exchange is linear, so its jvp is the primitive itself.
+(jax.custom_derivatives.linear_call was tried first: it has no
+forward-mode rule; jax.custom_vjp would break jacfwd.)
 
 Bit-compat: the transpose computes the same sums as autodiff's
 scatter-add, up to float summation order (K-term where-sums instead
@@ -157,8 +159,12 @@ def _staggered_transpose(kind, n, h, fill, up_ct, vp_ct, rows_a,
 
     def band_add(crop, offset, rows, cols):
         """crop + gathered contributions, restricted to the 4 edge
-        rectangles of depth `depth` (sources never lie deeper)."""
-        d = min(depth, (rows + 1) // 2, (cols + 1) // 2)
+        rectangles of depth `depth` (sources never lie deeper).  On
+        faces small enough that the bands would overlap or miss the
+        middle row/col, fall back to one full-array rectangle."""
+        d = min(depth, rows // 2, cols // 2)
+        if 2 * depth >= rows or 2 * depth >= cols:
+            d = 0  # full-array single rectangle below
         flat = (
             np.arange(6)[:, None, None] * (rows * cols)
             + np.arange(rows)[None, :, None] * cols
@@ -185,6 +191,8 @@ def _staggered_transpose(kind, n, h, fill, up_ct, vp_ct, rows_a,
             add = jnp.moveaxis(add, len(lead), 0)
             return own + add
 
+        if d == 0:
+            return rect_add(crop, np.s_[:], np.s_[:])
         top = rect_add(
             crop[..., :d, :], np.s_[:d], np.s_[:]
         )
@@ -325,7 +333,7 @@ def _exchange_batcher(args, dims, *, kind, n, h, fill):
 batching.primitive_batchers[_exchange_p] = _exchange_batcher
 
 
-def dgrid_exchange_linear(u, v, h: int, fwd=None):
+def dgrid_exchange_linear(u, v, h: int):
     """halo_exchange_dgrid as a linear primitive with fast transpose."""
     n = u.shape[-1]
     return tuple(
@@ -333,7 +341,7 @@ def dgrid_exchange_linear(u, v, h: int, fwd=None):
     )
 
 
-def cgrid_exchange_linear(uc, vc, h: int, fill: str, fwd=None):
+def cgrid_exchange_linear(uc, vc, h: int, fill: str):
     """halo_exchange_cgrid as a linear primitive with fast transpose."""
     n = uc.shape[-2]
     return tuple(

@@ -42,12 +42,15 @@ def brunt_vaisala(t, p, axis=1):
     """Dry N^2 on layer midpoints from theta differences."""
     theta = t * (1.0e5 / p) ** KAPPA
     dlth = jnp.diff(jnp.log(theta), axis=axis)
-    # height spacing from hydrostatics: dz = -RT/g dlnp
-    dz = -(RDGAS * 0.5 * (
+    # layer spacing from hydrostatics: |dz| = (R Tbar / g) dlnp
+    # (positive: p increases downward so dlnp > 0 along k)
+    dz = (RDGAS * 0.5 * (
         jnp.take(t, jnp.arange(t.shape[axis] - 1), axis=axis)
         + jnp.take(t, jnp.arange(1, t.shape[axis]), axis=axis)
     ) / GRAV) * jnp.diff(jnp.log(p), axis=axis)
-    n2 = -GRAV * dlth / jnp.maximum(dz, 1.0)  # minus: k increases down
+    # k increases downward: theta decreasing with k (dlth < 0) is
+    # stable, N^2 = -g dln(theta)/dz > 0
+    n2 = -GRAV * dlth / jnp.maximum(dz, 1.0)
     return jnp.clip(n2, 1.0e-8, 1.0e-3)
 
 
@@ -88,9 +91,11 @@ def gravity_wave_drag(u, v, t, p, delp, h_std, dt,
     n_mid = jnp.sqrt(
         jnp.concatenate([n2[:, :1], n2], axis=1)
     )
+    # McFarlane saturation closure consistent with tau0's dimensions:
+    # tau_sat = eff * rho * k * Fc^2 * Up^3 / N  (Pa)
     tau_sat = (
-        cfg.efficiency * rho * cfg.k_wave * up ** 2
-        * cfg.froude_crit ** 2 / jnp.maximum(n_mid, 1e-4) * n_mid
+        cfg.efficiency * rho * cfg.k_wave * cfg.froude_crit ** 2
+        * up ** 3 / jnp.maximum(n_mid, 1e-4)
     )
     # Interface stresses, bottom-up: the wave carries tau0 from the
     # surface and cannot exceed the local saturation stress anywhere

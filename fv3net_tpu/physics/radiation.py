@@ -42,10 +42,16 @@ class RadiationDriver:
 
     def __init__(self, sw_tau0: float = 0.2, lw_tau0: float = 4.0,
                  albedo: float = 0.12):
+        import jax
+
         self.sw_tau0 = sw_tau0
         self.lw_tau0 = lw_tau0
         self.albedo = albedo
         self._solcon = SOLAR_CONSTANT
+        # the array math is jnp: jit it once so the per-step call is a
+        # single dispatch, not ~25 eager ops (each ~25 ms RTT on the
+        # tunneled TPU)
+        self._jit_core = jax.jit(self._core)
 
     def radupdate(self, time: datetime.datetime):
         """(radiation_driver.py:209): update solar constant etc."""
@@ -63,8 +69,20 @@ class RadiationDriver:
 
         All fields [6, nz, n, n] except lon/lat/tsfc [6, n, n].
         """
-        cosz = np.maximum(cos_zenith_angle(time, lon_deg, lat_deg), 0.0)
+        import numpy as onp
 
+        cosz = np.asarray(
+            onp.maximum(
+                onp.asarray(cos_zenith_angle(time, lon_deg, lat_deg)),
+                0.0,
+            )
+        )
+        return self._jit_core(
+            cosz, p_lay, delp, temp, sphum, tsfc,
+            np.asarray(self._solcon, np.float32),
+        )
+
+    def _core(self, cosz, p_lay, delp, temp, sphum, tsfc, solcon):
         # --- shortwave: gray absorption along the slant path ----------
         # optical depth per layer proportional to mass + vapor loading
         dtau = (
@@ -74,7 +92,7 @@ class RadiationDriver:
         )
         slant = 1.0 / np.maximum(cosz, 0.05)[:, None]
         trans = np.exp(-np.cumsum(dtau, axis=1) * slant)
-        toa_down = self._solcon * cosz
+        toa_down = solcon * cosz
         flux_dn = toa_down[:, None] * np.concatenate(
             [np.ones_like(trans[:, :1]), trans], axis=1
         )  # [6, nz+1, n, n]

@@ -309,6 +309,9 @@ def _dqv(dm: DerivedMapping) -> Quantity:
 
 @DerivedMapping.register("dQu_parallel_to_eastward_wind")
 def _dqu_parallel(dm: DerivedMapping) -> Quantity:
+    # NOTE: sign(u / du) (NaN where du == 0 and u == 0) reproduces the
+    # reference's exact formula (derived_mapping.py:170) — data-contract
+    # parity over numerical tidiness
     u, du = dm["eastward_wind"], dm["dQu"]
     sign = np.sign(np.asarray(u.values) / np.asarray(du.values))
     return Quantity(
@@ -333,6 +336,10 @@ def _wind_tendency_parallel(dm: DerivedMapping) -> Quantity:
     v = np.asarray(dm["northward_wind"].values)
     du = np.asarray(dm["dQu"].values)
     dv = np.asarray(dm["dQv"].values)
+    # NOTE: np.linalg.norm((u, v)) is a single Frobenius norm over the
+    # WHOLE stacked field — grid-size-dependent scaling — but it is
+    # exactly what the reference computes (derived_mapping.py:186-190);
+    # kept for data-contract parity
     proj = (u * du + v * dv) / np.linalg.norm((u, v))
     return Quantity(proj, dm["dQu"].dims, "m/s/s")
 
