@@ -135,59 +135,38 @@ def _build_config(n, nz, jax, jnp, remat=False, dt_atmos=900.0):
 
 def _measure(n, nz, run, state, phis_np, jax, jnp,
              iters_budget_s=5.0, dt_atmos=900.0, remat=False):
-    """Steady-state timing: settle window, then several batches; bank
-    the MIN batch mean (the uncongested-queue value) and record every
-    batch so a congested run is visibly flagged (r3 lesson: the same
-    program measured 84 ms warm vs 566 ms right after a congested
-    81 s remote compile -- a single immediate probe is not a
-    benchmark).  Every timed region ends in a data-dependent scalar
-    fetch because block_until_ready on the axon tunnel can acknowledge
-    tens of ms before the device finishes; the fetch round-trip is
-    measured and subtracted."""
+    """Steady-state timing with the ACTING congestion guard
+    (fv3net_tpu.utils.benchtime): settle, RTT-corrected batches,
+    congested windows re-run rather than banked, min-of-CLEAN-batches
+    is the value, and `clean=False` results are never promoted to the
+    headline (r3 lesson: the same program measured 84 ms warm vs
+    566 ms right after a congested compile; r4 lesson: recording the
+    spread is not enough, the guard must act)."""
+    from fv3net_tpu.utils.benchtime import steady_state_timing
+
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     phis = jax.device_put(jnp.asarray(phis_np), dev)
     _stage(f"compile_c{n}")
     t0 = time.perf_counter()
-    st = run(state, phis, 1)
-    st.delp.block_until_ready()
+    box = [run(state, phis, 1)]
+    box[0].delp.block_until_ready()
     compile_s = time.perf_counter() - t0
     _stage(f"probe_c{n}")
 
-    # settle: two throwaway steps absorb queue backlog after the
-    # compile; the scalar fetch forces true completion
-    st = run(st, phis, 1)
-    st = run(st, phis, 1)
-    _ = float(st.delp[0, 0, 0, 0])
-    # fetch round-trip on an already-materialized array (~26-33 ms)
-    t0 = time.perf_counter()
-    _ = float(st.delp[0, 0, 0, 0])
-    rtt = time.perf_counter() - t0
-    # probe one step for batch sizing
-    t0 = time.perf_counter()
-    st = run(st, phis, 1)
-    _ = float(st.delp[0, 0, 0, 0])
-    probe = max(time.perf_counter() - t0 - rtt, 1e-4)
-    # batches sized ~1 s; as many as the budget allows, up to 5
-    k = max(1, min(12, int(1.0 / probe)))
-    batch_ms = []
-    while len(batch_ms) < 5 and (
-        len(batch_ms) < 2 or _remaining() > 10.0 + k * probe
-    ):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            st = run(st, phis, 1)
-        # the timing fetch is a cheap corner scalar; the FULL-field
-        # finiteness gate runs after so a partial blow-up (NaNs away
-        # from the corner) cannot be banked as a valid measurement
-        _ = float(st.delp[0, 0, 0, 0])
-        batch_ms.append(
-            (time.perf_counter() - t0 - rtt) / k * 1e3
-        )
-    assert bool(jnp.isfinite(st.delp).all()), "state blew up"
-    dt = min(batch_ms) / 1e3
-    mean = sum(batch_ms) / len(batch_ms)
-    spread = (max(batch_ms) - min(batch_ms)) / mean if mean else 0.0
+    def step():
+        box[0] = run(box[0], phis, 1)
+
+    def fetch():
+        # data-dependent corner scalar (block_until_ready lies on the
+        # axon tunnel); the FULL-field finiteness gate runs at the end
+        _ = float(box[0].delp[0, 0, 0, 0])
+
+    r = steady_state_timing(
+        step, fetch, _remaining, target_batch_s=1.0
+    )
+    assert bool(jnp.isfinite(box[0].delp).all()), "state blew up"
+    dt = r["step_s"]
 
     cells = 6 * n * n * nz
     updates_per_s = cells * 6 / dt  # k_split=1, n_split=6
@@ -196,10 +175,11 @@ def _measure(n, nz, run, state, phis_np, jax, jnp,
     return {
         "updates_per_s": updates_per_s,
         "step_ms": dt * 1e3,
-        "batch_ms": [round(b, 1) for b in batch_ms],
-        "iters_per_batch": k,
-        "fetch_rtt_ms": round(rtt * 1e3, 1),
-        "congestion_spread": round(spread, 3),
+        "batch_ms": r["batch_ms"],
+        "iters_per_batch": r["iters_per_batch"],
+        "fetch_rtt_ms": r["fetch_rtt_ms"],
+        "congestion_spread": r["congestion_spread"],
+        "clean": r["clean"],
         "gridpoints_per_s_per_chip": cells / dt,
         "simulated_years_per_day": sypd / 365.25,
         "compile_s": compile_s,
@@ -212,18 +192,24 @@ def _measure(n, nz, run, state, phis_np, jax, jnp,
     }
 
 
-def _measure_coupled(jax, jnp, n=48, nz=63, iters=3):
-    """One FULL coupled TimeLoop step at C<n>: nonhydrostatic dynamics
-    + GFS physics suite + radiation + a dense ML postphysics stepper
-    (the reference's hot loop, SURVEY 3.1 / runtime/loop.py:656-683).
-    Steady-state timing with the same settle+min discipline."""
+def _measure_coupled(jax, jnp, n=48, nz=63, breakdown=True):
+    """One FULL coupled step at C<n>: nonhydrostatic dynamics + GFS
+    physics suite + radiation + dense ML postphysics (the reference's
+    hot loop, SURVEY 3.1 / runtime/loop.py:656-683), via the COMPILED
+    TimeLoop -- the whole step is one jitted dispatch
+    (runtime/compiled_loop.py; the eager per-op path measured 2.9 s at
+    C48 over the tunnel, 82% of it dispatch RTT).  Steady-state timing
+    with the acting congestion guard; if budget allows, a per-substep
+    breakdown from the split stage functions."""
     import numpy as np
 
     from fv3net_tpu import fit, wrapper
     from fv3net_tpu.data import SyntheticWaves
-    from fv3net_tpu.runtime.derived_state import DerivedModelState
-    from fv3net_tpu.runtime.loop import TimeLoop
-    from fv3net_tpu.runtime.steppers import PureMLStepper
+    from fv3net_tpu.runtime.compiled_loop import (
+        CompiledTimeLoop,
+        build_compiled_step,
+    )
+    from fv3net_tpu.utils.benchtime import steady_state_timing
 
     dt = 900.0
     wrapper.initialize(
@@ -234,47 +220,84 @@ def _measure_coupled(jax, jnp, n=48, nz=63, iters=3):
     )
     try:
         # small real MLP (dQ1, dQ2 from T, q), trained one epoch on
-        # synthetic waves -- inference cost is what matters here
-        batches = SyntheticWaves(
-            ["air_temperature", "specific_humidity", "dQ1", "dQ2"],
-            n=8, nz=nz, nbatch=1, seed=0,
-        ).batches()
-        model = fit.train_dense_model(
-            fit.DenseHyperparameters(depth=2, width=64, epochs=1),
-            batches,
-            input_variables=["air_temperature", "specific_humidity"],
-            output_variables=["dQ1", "dQ2"],
-        )
-        stepper = PureMLStepper(model, dt=dt)
-        loop = TimeLoop(
-            wrapper, DerivedModelState(wrapper), dt=dt,
-            postphysics_stepper=stepper, n_steps=10_000,
-        )
-        it = iter(loop)
+        # synthetic waves -- on the CPU backend (training would
+        # otherwise pay its own remote TPU compiles)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            batches = SyntheticWaves(
+                ["air_temperature", "specific_humidity", "dQ1",
+                 "dQ2"],
+                n=8, nz=nz, nbatch=1, seed=0,
+            ).batches()
+            model = fit.train_dense_model(
+                fit.DenseHyperparameters(depth=2, width=64, epochs=1),
+                batches,
+                input_variables=["air_temperature",
+                                 "specific_humidity"],
+                output_variables=["dQ1", "dQ2"],
+            )
+        loop = CompiledTimeLoop(wrapper, ml_model=model)
         t0 = time.perf_counter()
-        next(it)  # compiles every jitted piece
+        loop.step()
+        loop.block()
         compile_s = time.perf_counter() - t0
-        next(it)  # settle
-        loop.timer.reset()  # breakdown over measured steps only
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            next(it)
-        # TimeLoop substeps already synchronize via host reads
-        step_s = (time.perf_counter() - t0) / iters
-        return {
+
+        r = steady_state_timing(
+            loop.step, loop.block, _remaining, target_batch_s=2.0
+        )
+        step_s = r["step_s"]
+        out = {
             "step_ms": step_s * 1e3,
+            "batch_ms": r["batch_ms"],
+            "fetch_rtt_ms": r["fetch_rtt_ms"],
+            "congestion_spread": r["congestion_spread"],
+            "clean": r["clean"],
             "simulated_years_per_day": dt / step_s / 365.25,
             "compile_s": compile_s,
             "config": (
                 f"coupled C{n} nz={nz} nonhydro + GFS physics + "
-                f"radiation + dense ML stepper"
+                f"radiation + dense ML postphysics, single fused "
+                f"dispatch"
             ),
-            "timer_breakdown_ms": {
-                k: round(sum(v) / len(v) * 1e3, 1)
-                for k, v in loop.timer.times.items()
-                if v
-            },
         }
+        if breakdown and _remaining() > 100.0:
+            # per-substep wall clock from the split stage programs
+            # (three extra remote compiles -- builder-budget runs only)
+            mdl = wrapper.get_model()
+            _, stages = build_compiled_step(
+                mdl, model, split=True
+            )
+            cosz, solcon = loop._astronomy()
+            tsfc = loop._tsfc
+            tp = jnp.asarray(mdl.total_precip, mdl.dtype)
+            st1, _ = stages["dynamics"](mdl.state, mdl.phis)
+            st2, tp2, _, _ = stages["physics"](
+                st1, tsfc, tp, jnp.asarray(cosz),
+                jnp.asarray(solcon),
+            )
+            st3, _ = stages["postphysics"](st2)
+            float(np.asarray(st3.pt[0, 0, 0, 0]))  # compile + settle
+            bd = {}
+            for name, call in (
+                ("dynamics", lambda: stages["dynamics"](
+                    mdl.state, mdl.phis)[0]),
+                ("physics", lambda: stages["physics"](
+                    st1, tsfc, tp, jnp.asarray(cosz),
+                    jnp.asarray(solcon))[0]),
+                ("postphysics", lambda: stages["postphysics"](
+                    st2)[0]),
+            ):
+                o = call()
+                float(np.asarray(o.pt[0, 0, 0, 0]))  # warm
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    o = call()
+                float(np.asarray(o.pt[0, 0, 0, 0]))
+                bd[name] = round(
+                    (time.perf_counter() - t0) / 3 * 1e3, 1
+                )
+            out["timer_breakdown_ms"] = bd
+        return out
     finally:
         wrapper.cleanup()
 
@@ -284,9 +307,16 @@ def _bank(result, key, headline=False):
         result, cell_substep_updates_per_s=result["updates_per_s"]
     )
     _RESULT["detail"][key].pop("updates_per_s")
-    if headline:
+    if headline and result.get("clean", True):
         _RESULT["value"] = result["updates_per_s"]
         _RESULT["detail"]["headline_config"] = result["config"]
+    elif headline:
+        # the acting congestion guard: a window with no clean
+        # consensus is recorded but never promoted to the headline
+        _RESULT["detail"]["headline_refused"] = (
+            f"{key}: no clean batch consensus "
+            f"(congestion_spread={result['congestion_spread']})"
+        )
 
 
 def main():

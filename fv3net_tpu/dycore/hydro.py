@@ -42,7 +42,7 @@ from ..grid.halo import (
 from ..constants import GRAV
 from ..ops.advection import fv_tp_2d
 from ..ops.remap import ppm_remap
-from .riemann import layer_mean_pressure, sim1_solver
+from .riemann import layer_mean_pressure, sim1_solve
 from ..grid.halo import average_dgrid_boundary
 from .sw import (
     CORNER_DAMP_COEF,
@@ -398,7 +398,7 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
             ws = ws_full[:, h : h + n, h : h + n]
         else:
             ws = jnp.zeros_like(delp_new[:, 0])
-        w2, dz2, ppe = sim1_solver(
+        w2, dz2, ppe = sim1_solve(
             dt, dm_int, pt_new, dz_adv, w_adv, pe_int, pm_int, ws
         )
         dz_p = halo_exchange(dz2, h, fill="y")
@@ -652,6 +652,10 @@ def make_dycore_stepper(
         out, _ = jax.lax.scan(body, state, None, length=nsteps)
         return out
 
+    # the un-jitted one-dt body: the compiled TimeLoop
+    # (runtime/compiled_loop.py) traces it INSIDE its fused coupled
+    # step instead of paying a separate dispatch per substep
+    run.one_dt = one_dt
     return run, m, (ak, bk)
 
 

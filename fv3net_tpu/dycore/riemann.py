@@ -58,6 +58,22 @@ def dz_from_pressure(dm, pt, p):
     return -(dm * RDGAS * pt / P00) * (p / P00) ** (-CV_AIR / CP_AIR)
 
 
+def sim1_solve(dt, dm, pt, dz, w, pem, pm, ws, p_fac: float = 0.05):
+    """Dispatching front-end: the fused Pallas kernel on TPU for
+    MXU-friendly widths (the same >=128-lane gate as fv_tp_2d --
+    below it the kernel boundary costs more than the fusion saves),
+    else the jnp reference implementation below."""
+    from ..ops.advection import _pallas_enabled
+
+    if _pallas_enabled() and dm.shape[-1] >= 128:
+        from ..ops.pallas_sim1 import sim1_solver_pallas
+
+        return sim1_solver_pallas(
+            dt, dm, pt, dz, w, pem, pm, ws, p_fac=p_fac
+        )
+    return sim1_solver(dt, dm, pt, dz, w, pem, pm, ws, p_fac)
+
+
 def sim1_solver(dt, dm, pt, dz, w, pem, pm, ws, p_fac: float = 0.05):
     """Fully implicit vertical acoustic solve for one substep.
 

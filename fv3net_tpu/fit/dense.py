@@ -77,6 +77,54 @@ class DenseModel(Predictor):
         y = self.scaler_out.denormalize(yn)
         return self.packer_out.to_state(y, self._templates(X))
 
+    def pure_fn(self, params, arrs):
+        """The whole pack->normalize->MLP->denormalize->unpack chain as
+        a PURE function of (params, {name: array}) -> {name: array}.
+
+        Used two ways: jitted standalone by `_predict_on_device`, and
+        traced INSIDE the compiled TimeLoop's fused step
+        (runtime/compiled_loop.py) so ML postphysics costs zero extra
+        dispatches."""
+        blocks = []
+        for name in self.input_variables:
+            a = arrs[name]
+            if a.ndim == 4:
+                blocks.append(
+                    jnp.moveaxis(a, 1, -1).reshape(-1, a.shape[1])
+                )
+            elif a.ndim == 3:
+                blocks.append(a.reshape(-1, 1))
+            else:
+                blocks.append(a)
+        x = jnp.concatenate(blocks, axis=1)
+        xn = (
+            x - jnp.asarray(self.scaler_in.mean)
+        ) / jnp.asarray(self.scaler_in.std)
+        yn = self.module.apply(
+            {"params": params}, xn.astype(jnp.float32)
+        )
+        y = yn * jnp.asarray(
+            self.scaler_out.std, jnp.float32
+        ) + jnp.asarray(self.scaler_out.mean, jnp.float32)
+        out = {}
+        i = 0
+        ref = arrs[self.input_variables[0]]
+        for name in self.output_variables:
+            w = self.packer_out._feature_counts[name]
+            block = y[:, i : i + w]
+            i += w
+            if ref.ndim == 4 and w > 1:
+                t, _, yy, xx = ref.shape
+                out[name] = jnp.moveaxis(
+                    block.reshape(t, yy, xx, w), -1, 1
+                )
+            elif ref.ndim == 4:
+                t, _, yy, xx = ref.shape
+                out[name] = block.reshape(t, yy, xx)
+            else:
+                out[name] = block
+        return out
+
     def _predict_on_device(self, X):
         """Whole pack->normalize->MLP->denormalize->unpack chain as ONE
         jitted call: jax-array states (the coupled TimeLoop's ML
@@ -84,51 +132,7 @@ class DenseModel(Predictor):
         tunneled TPU — never dispatch eager per-op round trips
         (measured 2.7 s/step eager vs ~10 ms jitted at C48)."""
         if not hasattr(self, "_dev_fn"):
-
-            def fn(params, arrs):
-                blocks = []
-                for name in self.input_variables:
-                    a = arrs[name]
-                    if a.ndim == 4:
-                        blocks.append(
-                            jnp.moveaxis(a, 1, -1).reshape(
-                                -1, a.shape[1]
-                            )
-                        )
-                    elif a.ndim == 3:
-                        blocks.append(a.reshape(-1, 1))
-                    else:
-                        blocks.append(a)
-                x = jnp.concatenate(blocks, axis=1)
-                xn = (
-                    x - jnp.asarray(self.scaler_in.mean)
-                ) / jnp.asarray(self.scaler_in.std)
-                yn = self.module.apply(
-                    {"params": params}, xn.astype(jnp.float32)
-                )
-                y = yn * jnp.asarray(
-                    self.scaler_out.std, jnp.float32
-                ) + jnp.asarray(self.scaler_out.mean, jnp.float32)
-                out = {}
-                i = 0
-                ref = arrs[self.input_variables[0]]
-                for name in self.output_variables:
-                    w = self.packer_out._feature_counts[name]
-                    block = y[:, i : i + w]
-                    i += w
-                    if ref.ndim == 4 and w > 1:
-                        t, _, yy, xx = ref.shape
-                        out[name] = jnp.moveaxis(
-                            block.reshape(t, yy, xx, w), -1, 1
-                        )
-                    elif ref.ndim == 4:
-                        t, _, yy, xx = ref.shape
-                        out[name] = block.reshape(t, yy, xx)
-                    else:
-                        out[name] = block
-                return out
-
-            self._dev_fn = jax.jit(fn)
+            self._dev_fn = jax.jit(self.pure_fn)
         arrs = {
             k: X[k].data for k in self.input_variables
         }

@@ -97,6 +97,37 @@ class _Properties:
 _properties = _Properties()
 
 
+# --- pure thermodynamic conversions (shared by the wrapper's stateful
+# API and the compiled TimeLoop, runtime/compiled_loop.py, which traces
+# them into one jitted step) ----------------------------------------------
+
+
+def pressure_layers(delp, ptop):
+    """(pe, pi_lay): interface pressures and hydrostatically consistent
+    layer-mean Exner function from layer thicknesses."""
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[:, :1]), jnp.cumsum(delp, axis=1)],
+        axis=1,
+    )
+    pik = (pe / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+    pi_lay = (
+        pik[:, 1:] * pe[:, 1:] - pik[:, :-1] * pe[:, :-1]
+    ) / ((1.0 + KAPPA) * delp)
+    return pe, pi_lay
+
+
+def temperature_from_pt(delp, pt, qv, ptop):
+    """Sensible temperature from virtual potential temperature."""
+    _, pi = pressure_layers(delp, ptop)
+    return pt * pi / (1.0 + ZVIR * qv)
+
+
+def pt_from_temperature(delp, temp, qv, ptop):
+    """Virtual potential temperature from sensible temperature."""
+    _, pi = pressure_layers(delp, ptop)
+    return temp * (1.0 + ZVIR * qv) / pi
+
+
 @dataclasses.dataclass
 class ModelConfig:
     npx: int = 13  # cells per face edge + 1 (FV3 namelist convention)
@@ -302,28 +333,19 @@ class _Model:
         # is host-side, but TPU-first means the wrapper's
         # thermodynamic conversions must not bounce through numpy
         # (SURVEY hard part 6; VERDICT r2 weak 5)
-        pe = self.config.ptop + jnp.concatenate(
-            [jnp.zeros_like(delp[:, :1]), jnp.cumsum(delp, axis=1)],
-            axis=1,
-        )
-        pik = (pe / REFERENCE_SURFACE_PRESSURE) ** KAPPA
-        pi_lay = (
-            pik[:, 1:] * pe[:, 1:] - pik[:, :-1] * pe[:, :-1]
-        ) / ((1.0 + KAPPA) * delp)
-        return pe, pi_lay
+        return pressure_layers(delp, self.config.ptop)
 
     def _temperature(self):
-        delp = self.state.delp
-        pt = self.state.pt
-        q = self.state.q[0]
-        _, pi = self._pressure_layers(delp)
-        return pt * pi / (1.0 + ZVIR * q)
+        return temperature_from_pt(
+            self.state.delp, self.state.pt, self.state.q[0],
+            self.config.ptop,
+        )
 
     def _set_temperature(self, temp):
-        delp = self.state.delp
-        q = self.state.q[0]
-        _, pi = self._pressure_layers(delp)
-        pt = jnp.asarray(temp, self.dtype) * (1.0 + ZVIR * q) / pi
+        pt = pt_from_temperature(
+            self.state.delp, jnp.asarray(temp, self.dtype),
+            self.state.q[0], self.config.ptop,
+        )
         self.state = self.state._replace(
             pt=jnp.asarray(pt, self.dtype)
         )
@@ -608,7 +630,13 @@ class _Model:
         return out
 
     def set_state(self, state: Mapping[str, Quantity]):
-        for name, qty in state.items():
+        # TEMP is stored as virtual potential temperature: its
+        # conversion reads delp and sphum, so set those first --
+        # otherwise the result depends on dict insertion order
+        items = sorted(
+            state.items(), key=lambda kv: kv[0] == TEMP
+        )
+        for name, qty in items:
             if name == TIME:
                 self.time = qty  # type: ignore
             elif name == TEMP:

@@ -92,3 +92,88 @@ def test_fv_tp_2d_pallas_mass_weighted_area():
         np.asarray(fy)[sl], np.asarray(fy_ref)[sl], rtol=1e-4,
         atol=1e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# sim1 semi-implicit vertical solver (ops/pallas_sim1.py)
+# ---------------------------------------------------------------------------
+
+
+def _sim1_args(n=8, nz=13, dtype=np.float32, seed=0):
+    """Physically plausible columns (the solver's gas law needs
+    dz < 0, dm > 0, pt > 0)."""
+    from fv3net_tpu.constants import GRAV
+    from fv3net_tpu.dycore.riemann import (
+        hydrostatic_dz,
+        layer_mean_pressure,
+    )
+
+    rng = np.random.RandomState(seed)
+    ps, ptop = 1.0e5, 300.0
+    pe1d = np.linspace(ptop, ps, nz + 1)
+    pe = np.broadcast_to(
+        pe1d[:, None, None], (nz + 1, n, n)
+    ) * (1.0 + 0.01 * rng.rand(6, nz + 1, n, n))
+    pe = np.sort(pe, axis=1)
+    delp = pe[:, 1:] - pe[:, :-1]
+    pt = 300.0 + 30.0 * rng.randn(6, nz, n, n)
+    pt = np.clip(pt, 200.0, 400.0)
+    dm = delp / GRAV
+    pm = np.asarray(
+        layer_mean_pressure(jnp.asarray(delp), jnp.asarray(pe))
+    )
+    dz = np.asarray(
+        hydrostatic_dz(
+            jnp.asarray(delp), jnp.asarray(pt), jnp.asarray(pe)
+        )
+    ) * (1.0 + 0.05 * rng.randn(6, nz, n, n))
+    w = 2.0 * rng.randn(6, nz, n, n)
+    ws = 0.5 * rng.randn(6, n, n)
+    c = lambda x: jnp.asarray(x, dtype)  # noqa: E731
+    return (
+        c(dm), c(pt), c(dz), c(w), c(pe), c(pm), c(ws)
+    )
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_sim1_pallas_matches_jnp(dtype):
+    from fv3net_tpu.dycore.riemann import sim1_solver
+    from fv3net_tpu.ops.pallas_sim1 import sim1_solver_pallas
+
+    dm, pt, dz, w, pem, pm, ws = _sim1_args(dtype=dtype)
+    dt = 150.0
+    w_ref, dz_ref, ppe_ref = sim1_solver(
+        dt, dm, pt, dz, w, pem, pm, ws
+    )
+    w2, dz2, ppe = sim1_solver_pallas(
+        dt, dm, pt, dz, w, pem, pm, ws, interpret=True
+    )
+    rtol = 1e-5 if dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(
+        np.asarray(w2), np.asarray(w_ref), rtol=rtol, atol=rtol * 10
+    )
+    np.testing.assert_allclose(
+        np.asarray(dz2), np.asarray(dz_ref), rtol=rtol,
+        atol=rtol * 100,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ppe), np.asarray(ppe_ref), rtol=1e-4,
+        atol=np.abs(np.asarray(ppe_ref)).max() * rtol * 10,
+    )
+
+
+def test_sim1_pallas_odd_rows():
+    """ny not divisible by 8 exercises the BY fallback."""
+    from fv3net_tpu.dycore.riemann import sim1_solver
+    from fv3net_tpu.ops.pallas_sim1 import sim1_solver_pallas
+
+    dm, pt, dz, w, pem, pm, ws = _sim1_args(n=6, seed=2)
+    w_ref, dz_ref, _ = sim1_solver(
+        150.0, dm, pt, dz, w, pem, pm, ws
+    )
+    w2, dz2, _ = sim1_solver_pallas(
+        150.0, dm, pt, dz, w, pem, pm, ws, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(w2), np.asarray(w_ref), rtol=1e-5, atol=1e-4
+    )
