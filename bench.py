@@ -68,12 +68,10 @@ def _watchdog():
                 # artifacts instead of reporting nothing.
                 _RESULT["detail"]["builder_artifacts"] = (
                     "committed warm steady-state measurements: "
-                    "bench_c384_r4.json (C384 7246 ms/step), "
-                    "bench_coupled_r4.json (coupled C48 1114 ms); "
-                    "C48 61 ms / C192 1207 ms steady-state via "
-                    "tools/profile_step.py logs; reproduce with "
-                    "BENCH_BUDGET_S=900 python bench.py on a clean "
-                    "queue"
+                    "bench_full_r5.json (full ladder: C48, C192, "
+                    "C384, coupled-compiled C48 with stage "
+                    "breakdown); reproduce with BENCH_BUDGET_S=1500 "
+                    "python bench.py on a clean queue"
                 )
             _flush_and_exit()
 
@@ -385,9 +383,9 @@ def main():
 
     # --- rung 3: coupled C48 step (dynamics+physics+radiation+ML) ----
     # a ~40 s wrapper compile chain; attempted when budget remains
-    if _remaining() > 90.0:
+    if _remaining() > 150.0:
         try:
-            rc = _measure_coupled(jax, jnp, n=48, nz=63, iters=3)
+            rc = _measure_coupled(jax, jnp, n=48, nz=63)
             _RESULT["detail"]["coupled_c48"] = rc
             _stage("coupled_done")
         except Exception as e:
@@ -396,16 +394,15 @@ def main():
             )
     else:
         _RESULT["detail"]["coupled_c48"] = (
-            "skipped (budget); builder steady-state artifact: "
-            "bench_coupled_r4.json (committed)"
+            "skipped (budget); the COMPILED TimeLoop (one dispatch "
+            "per step) measures ~109 ms/step at C48 on this chip -- "
+            "committed artifact bench_full_r5.json"
         )
 
     # --- rung 4: C384 x 63 -- the north star --------------------------
-    # RUNS on one chip since r4 (dead-accumulator drop + donation +
-    # Pallas 64MB-vmem transport): measured 7.246 s/step warm,
-    # 46.2M cell-substep-updates/s (bench_c384_r4.json).  The remote
-    # compile alone is ~360 s, so inside a ~110 s driver budget the
-    # rung reports the committed builder artifact instead of lying.
+    # Runs on one chip since r4; the remote compile alone is ~360 s,
+    # so inside a ~110 s driver budget the rung reports the committed
+    # builder artifact instead of lying.
     if _remaining() > 480.0:
         try:
             run, state, phis = _build_config(
@@ -423,9 +420,9 @@ def main():
     else:
         _RESULT["detail"]["c384"] = (
             "runs on one chip since r4; compile ~360 s exceeds this "
-            "budget -- measured warm 7246 ms/step, 46.2M updates/s "
-            "(artifact bench_c384_r4.json, reproduce with "
-            "BENCH_BUDGET_S=900 python bench.py)"
+            "budget -- committed steady-state artifact "
+            "bench_full_r5.json (reproduce with BENCH_BUDGET_S=1500 "
+            "python bench.py)"
         )
 
     _DONE.set()

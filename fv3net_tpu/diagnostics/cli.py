@@ -209,6 +209,119 @@ def offline_cmd(model_path: str, data_yaml: str, output: str,
     return metrics
 
 
+def log_viewer_cmd(url: str, output: str) -> str:
+    """Render a segmented run's per-step scalar logs + substep timings
+    into a static HTML page (the role of the reference's streamlit
+    `log-viewer` app, diagnostics/prognostic_run/apps/log_viewer.py,
+    dependency-free: inline-SVG time series)."""
+    from ..runtime.timing import read_scalars
+    from .report import HTMLReport, write_report
+
+    seg_root = os.path.join(url, "segments")
+    segs = (
+        sorted(os.listdir(seg_root))
+        if os.path.isdir(seg_root)
+        else [""]
+    )
+    rep = HTMLReport("run log viewer", {"run": url})
+    series: Dict[str, list] = {}
+    timing_rows: Dict[str, str] = {}
+    for seg in segs:
+        seg_dir = os.path.join(seg_root, seg) if seg else url
+        sc = os.path.join(seg_dir, "scalars.jsonl")
+        if os.path.exists(sc):
+            for name, recs in read_scalars(sc).items():
+                series.setdefault(name, []).extend(
+                    r["value"] for r in recs
+                )
+        tj = os.path.join(seg_dir, "timing.json")
+        if os.path.exists(tj):
+            with open(tj) as f:
+                t = json.load(f)
+            for sub, stats in sorted(t.items()):
+                mmm = "/".join(
+                    f"{float(stats[k]):.4g}"
+                    for k in ("min", "max", "mean")
+                    if k in stats
+                )
+                timing_rows[f"{seg or '.'} {sub} (min/max/mean s)"] = (
+                    mmm
+                )
+    for name, vals in sorted(series.items()):
+        rep.add_timeseries("statistics", name, np.asarray(vals))
+    if timing_rows:
+        rep.add_table("substep timings", "per-segment", timing_rows)
+    os.makedirs(output, exist_ok=True)
+    path = os.path.join(output, "log_viewer.html")
+    write_report(rep, path)
+    return path
+
+
+def single_run_cmd(rundir: str, output: str) -> Dict[str, float]:
+    """Per-run emulation skill metrics from a StorageHook capture (the
+    role of diagnostics/prognostic_run/emulation/single_run.py): for
+    every captured microphysics field, global mean/RMS of the scheme's
+    change and -- when an emulator substituted outputs -- the skill of
+    the emulator against the physics it replaced."""
+    from ..io.zarr_lite import open_zarr_lite
+    from .report import HTMLReport, write_report
+
+    store_path = os.path.join(rundir, "state_output.zarr")
+    if not os.path.isdir(store_path):
+        store_path = rundir
+    z = open_zarr_lite(store_path)
+    names = set(z.arrays())
+    metrics: Dict[str, float] = {}
+    rep = HTMLReport("emulation single-run", {"run": rundir})
+    for field in ("air_temperature", "specific_humidity",
+                  "cloud_water_mixing_ratio"):
+        inp = f"{field}_input"
+        after = f"{field}_after_precpd"
+        if inp in names and after in names:
+            a = z.read(inp).astype(np.float64)
+            b = z.read(after).astype(np.float64)
+            d = b - a
+            metrics[f"{field}/tendency_rms"] = float(
+                np.sqrt(np.mean(d * d))
+            )
+            metrics[f"{field}/tendency_mean"] = float(np.mean(d))
+            rep.add_timeseries(
+                "mp change (per sample)", field,
+                d.reshape(d.shape[0], -1).mean(axis=1)
+                if d.ndim > 1
+                else d,
+            )
+        out = f"{field}_output"
+        if out in names and after in names:
+            t = z.read(after).astype(np.float64)
+            p = z.read(out).astype(np.float64)
+            sse = float(np.sum((p - t) ** 2))
+            var = float(np.sum((t - t.mean()) ** 2))
+            metrics[f"{field}/emulator_r2"] = (
+                1.0 - sse / var if var > 0 else 0.0
+            )
+    os.makedirs(output, exist_ok=True)
+    rep.add_table("metrics", "scalar", dict(sorted(metrics.items())))
+    write_report(rep, os.path.join(output, "single_run.html"))
+    with open(os.path.join(output, "single_run.json"), "w") as f:
+        json.dump(metrics, f, indent=2, sort_keys=True)
+    return metrics
+
+
+def shell_cmd(url: str) -> int:
+    """Interactive shell with the run loaded (the reference's `shell`
+    subcommand role, prognostic_run/shell.py)."""
+    import code
+
+    run = _load_run(url)
+    banner = (
+        f"loaded run {url!r} as `run` "
+        f"({len(run)} variables: {sorted(run)[:8]}...)"
+    )
+    code.interact(banner=banner, local={"run": run, "np": np})
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="prognostic_run_diags")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -241,6 +354,26 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default="offline_diags")
     p.add_argument("--no-jacobian", action="store_true")
 
+    p = sub.add_parser(
+        "log-viewer",
+        help="HTML time-series view of a segmented run's scalar logs",
+    )
+    p.add_argument("url", help="segmented run directory")
+    p.add_argument("-o", "--output", default="diags_output")
+
+    p = sub.add_parser(
+        "single-run",
+        help="emulation skill metrics from one run's StorageHook "
+        "capture",
+    )
+    p.add_argument("url", help="run dir holding state_output.zarr")
+    p.add_argument("-o", "--output", default="diags_output")
+
+    p = sub.add_parser(
+        "shell", help="interactive shell with the run loaded"
+    )
+    p.add_argument("url")
+
     args = parser.parse_args(argv)
     if args.command == "compute":
         path = compute_cmd(args.url, args.output, args.dt_hours,
@@ -257,6 +390,17 @@ def main(argv=None) -> int:
     elif args.command == "offline":
         offline_cmd(args.model_path, args.data_yaml, args.output,
                     args.no_jacobian)
+    elif args.command == "log-viewer":
+        print(log_viewer_cmd(args.url, args.output))
+    elif args.command == "single-run":
+        print(
+            json.dumps(
+                single_run_cmd(args.url, args.output), indent=2,
+                sort_keys=True,
+            )
+        )
+    elif args.command == "shell":
+        return shell_cmd(args.url)
     return 0
 
 

@@ -528,6 +528,23 @@ def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
     ) * ps
 
     def rmp(qq, p1, p2, iv, kord):
+        from ..ops.pallas_remap import remap_kernel_enabled
+
+        if (
+            remap_kernel_enabled()
+            and qq.shape[-1] >= 128
+            and abs(kord) in (9, 10)
+            and iv in (1, 0, -1)
+        ):
+            # fused native-layout kernel: no transposes, spline +
+            # limiters + integration in VMEM (ops/pallas_remap.py).
+            # OFF by default: measured at C192 it buys only ~15 ms of
+            # the 1048 ms step but costs ~97 s of extra Mosaic compile
+            # per run -- a bad trade against the bench's remote-compile
+            # budget (memory: compiles run server-side every process).
+            from ..ops.pallas_remap import ppm_remap_pallas
+
+            return ppm_remap_pallas(qq, p1, p2, iv=iv, kord=kord)
         return jnp.moveaxis(
             ppm_remap(
                 jnp.moveaxis(qq, 1, 0),
@@ -559,9 +576,14 @@ def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
     u_new = rmp(u, stag_u(pe1), stag_u(pe2), -1, kord_mt)
     v_new = rmp(v, stag_v(pe1), stag_v(pe2), -1, kord_mt)
     if q is not None:
-        q_new = jax.vmap(
-            lambda qq: rmp(qq, pe1, pe2, 0, kord_tr)
-        )(q)
+        # static unroll over tracers (the pallas_call instance is
+        # shape-cached, so one compiled kernel serves every tracer)
+        q_new = jnp.stack(
+            [
+                rmp(q[i], pe1, pe2, 0, kord_tr)
+                for i in range(q.shape[0])
+            ]
+        )
     else:
         q_new = None
     if w is not None:

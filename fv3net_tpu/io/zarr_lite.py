@@ -195,5 +195,54 @@ class ZarrLiteStore:
                     yield entry
 
 
+def rechunk_store(
+    src_path: str,
+    dst_path: str,
+    chunks=None,
+    cast=None,
+    time_chunk: Optional[int] = None,
+):
+    """Rechunk + encode a whole store into a new one (the
+    xpartition-style post-processing pass of the reference's
+    `fv3post.post_process` rechunk/encode steps,
+    workflows/post_process_run/fv3post/post_process.py:49-54).
+
+    chunks: mapping array-name -> chunk tuple, or a single tuple
+    applied where the rank matches; time_chunk: convenience override
+    of the leading-axis chunk for every array; cast: target dtype for
+    float arrays (the reference encodes float32), None = keep.
+
+    Returns the destination store.
+    """
+    src = open_zarr_lite(src_path)
+    dst = ZarrLiteStore(dst_path)
+    for name in src.arrays():
+        data = src.read(name)
+        meta = src._meta(name)
+        new_chunks = list(meta["chunks"])
+        if isinstance(chunks, dict):
+            if name in chunks:
+                new_chunks = list(chunks[name])
+        elif chunks is not None and len(chunks) == data.ndim:
+            new_chunks = list(chunks)
+        if time_chunk is not None and data.ndim >= 1:
+            new_chunks[0] = int(time_chunk)
+        new_chunks = [
+            min(int(c), int(s))
+            for c, s in zip(new_chunks, data.shape)
+        ]
+        dt = data.dtype
+        if cast is not None and np.issubdtype(dt, np.floating):
+            dt = np.dtype(cast)
+        attrs = src.attrs(name)
+        dims = attrs.pop("_ARRAY_DIMENSIONS", None)
+        dst.create_array(
+            name, data.shape, new_chunks, dt, dims=dims,
+            attrs=attrs,
+        )
+        dst.write_full(name, data.astype(dt, copy=False))
+    return dst
+
+
 def open_zarr_lite(path: str) -> ZarrLiteStore:
     return ZarrLiteStore(path)

@@ -175,9 +175,15 @@ def gfdl_cloud_microphysics(
     qi = qi - a_i2s
     qs = qs + a_i2s
 
-    # 4. accretion (linearized collection)
-    acc_r = jnp.minimum(ql, cfg.c_acc_rain * qr * ql * dt * 1e3)
-    acc_s = jnp.minimum(qi, cfg.c_acc_snow * qs * qi * dt * 1e3)
+    # 4. accretion: continuous-collection form.  The collector field
+    # is ~constant over one step, so dql/dt = -k qr ql integrates
+    # EXACTLY to ql * (1 - exp(-k qr dt)) -- nonlinear in the
+    # collector, bounded by the available condensate for any dt
+    # (replaces the r4 linearized min() form; the reference's
+    # gfdl_cloud_microphys.F90 csacw/craci collection kernels are
+    # likewise exponential-in-collector)
+    acc_r = ql * -jnp.expm1(-cfg.c_acc_rain * 1e3 * qr * dt)
+    acc_s = qi * -jnp.expm1(-cfg.c_acc_snow * 1e3 * qs * dt)
     ql = ql - acc_r
     qr = qr + acc_r
     qi = qi - acc_s

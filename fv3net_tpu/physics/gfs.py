@@ -416,10 +416,18 @@ def gfs_physics_step(
     t, qv, qc, u_d, v_d, delp, tsfc, ptop, dt,
     cfg: GFSPhysicsConfig = GFSPhysicsConfig(),
     h_std=None,
+    mp_tracers=None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """One physics step.  Fields [6, nz, n, n] (winds D-grid staggered);
     h_std: optional subgrid-orography std-dev [6, n, n] enabling the
-    gravity-wave drag.  Returns (new_state, diagnostics)."""
+    gravity-wave drag.  mp_tracers: optional (qi, qr, qs, qg)
+    prognostic hydrometeors -- with the GFDL scheme these are advected
+    dycore tracers carrying falling-precipitation memory between steps
+    (the reference's in-dycore GFDL MP tracer set, fv_core_nml
+    do_sat_adj + gfdl_cloud_microphys, test_regression.py:133-200);
+    when supplied, qc is the CLOUD LIQUID field and the returned state
+    carries all six species separately.  Returns
+    (new_state, diagnostics)."""
     shape2d = t.shape[:1] + t.shape[2:]
     # flatten horizontal dims so scans see [cols] batches
     nz = t.shape[1]
@@ -508,6 +516,7 @@ def gfs_physics_step(
         diags.update(gwd_diags)
 
     precip_ls = jnp.zeros(shape2d, t.dtype)
+    mp_out = None
     if cfg.do_microphysics:
         if cfg.microphysics_scheme == "gfdl":
             from .gfdl_mp import (
@@ -515,23 +524,50 @@ def gfs_physics_step(
                 liquid_fraction,
             )
 
-            fl = liquid_fraction(t)
-            zero = jnp.zeros_like(qc)
+            if mp_tracers is not None:
+                # prognostic 6-species state: qc is cloud liquid, the
+                # hydrometeors persist (and advect) between steps
+                qi0, qr0, qs0, qg0 = mp_tracers
+                ql0 = qc
+            else:
+                # reduced 2-tracer fallback: partition the combined
+                # condensate diagnostically each step
+                fl = liquid_fraction(t)
+                ql0 = fl * qc
+                qi0 = (1.0 - fl) * qc
+                qr0 = qs0 = qg0 = jnp.zeros_like(qc)
             mp_state, mp_diags = gfdl_cloud_microphysics(
-                t, qv, fl * qc, (1.0 - fl) * qc, zero, zero, zero,
-                p, delp, dz, dt,
+                t, qv, ql0, qi0, qr0, qs0, qg0, p, delp, dz, dt,
             )
             t = mp_state["air_temperature"]
             qv = mp_state["specific_humidity"]
-            # the suite carries 2 tracers: fold all suspended
-            # condensate back into qc (water-conserving; the full
-            # 7-tracer state is the scheme's native interface)
-            qc = (
-                mp_state["cloud_water_mixing_ratio"]
-                + mp_state["cloud_ice_mixing_ratio"]
-                + mp_state["rain_mixing_ratio"]
-                + mp_state["snow_mixing_ratio"]
-                + mp_state["graupel_mixing_ratio"]
+            if mp_tracers is not None:
+                qc = mp_state["cloud_water_mixing_ratio"]
+                mp_out = (
+                    mp_state["cloud_ice_mixing_ratio"],
+                    mp_state["rain_mixing_ratio"],
+                    mp_state["snow_mixing_ratio"],
+                    mp_state["graupel_mixing_ratio"],
+                )
+            else:
+                # fold all suspended condensate back into qc
+                # (water-conserving)
+                qc = (
+                    mp_state["cloud_water_mixing_ratio"]
+                    + mp_state["cloud_ice_mixing_ratio"]
+                    + mp_state["rain_mixing_ratio"]
+                    + mp_state["snow_mixing_ratio"]
+                    + mp_state["graupel_mixing_ratio"]
+                )
+            diags.update(
+                {
+                    k: mp_diags[k]
+                    for k in (
+                        "rain_precipitation",
+                        "snow_precipitation",
+                        "graupel_precipitation",
+                    )
+                }
             )
             precip_ls = mp_diags["total_precipitation_mp"]
         else:
@@ -547,6 +583,13 @@ def gfs_physics_step(
         "u_dgrid": u_d,
         "v_dgrid": v_d,
     }
+    if mp_out is not None:
+        state.update(
+            cloud_ice_mixing_ratio=mp_out[0],
+            rain_mixing_ratio=mp_out[1],
+            snow_mixing_ratio=mp_out[2],
+            graupel_mixing_ratio=mp_out[3],
+        )
     diags.update(
         sensible_heat_flux=shf,
         latent_heat_flux=lhf,

@@ -84,13 +84,18 @@ class AerosolClimatology:
 
     aod550: float = 0.12  # global fallback when no lat/doy given
     scale_height_pa: float = 2.0e4  # e-folding depth in pressure
-    ssa: float = 0.95
-    asy: float = 0.70
-    # per-SW-band scaling of the 550nm AOD: (lambda/0.55um)^-1.3
-    # (Angstrom exponent ~1.3) at the 12-band centers of
-    # radgases.SW_BAND_RANGE_UM
-    band_scale: tuple = (2.79, 1.67, 1.13, 0.84, 0.64, 0.51,
-                         0.39, 0.29, 0.20, 0.14, 0.10, 0.057)
+    # per-band optics TABLES at the 14 RRTMG band centers
+    # (radgases.SW_BAND_RANGE_UM; the radiation_aerosols.py extrhi/
+    # extstra table role): extinction via Angstrom (lambda/0.55)^-1.3,
+    # single-scattering albedo falling UV->NIR (continental-average
+    # OPAC mixture), asymmetry rising with wavelength
+    band_scale: tuple = (3.11, 2.20, 1.56, 1.05, 0.73, 0.47, 0.34,
+                         0.28, 0.22, 0.18, 0.155, 0.122, 0.092,
+                         0.050)
+    band_ssa: tuple = (0.95, 0.96, 0.96, 0.96, 0.95, 0.94, 0.93,
+                       0.92, 0.91, 0.90, 0.89, 0.87, 0.85, 0.80)
+    band_asy: tuple = (0.68, 0.68, 0.69, 0.70, 0.70, 0.71, 0.72,
+                       0.72, 0.73, 0.73, 0.74, 0.74, 0.75, 0.76)
     # lat/season climatology (radiation_aerosols climatology role)
     aod_background: float = 0.06  # clean maritime
     aod_belt: float = 0.22  # NH dust/pollution belt amplitude
@@ -122,8 +127,11 @@ class AerosolClimatology:
         wt = wt / jnp.maximum(wt.sum(axis=0, keepdims=True), 1e-30)
         aod = self.aod550 if aod550 is None else aod550
         tau550 = aod * wt
-        scale = jnp.asarray(self.band_scale)
-        tau = scale.reshape(
-            (len(self.band_scale),) + (1,) * tau550.ndim
-        ) * tau550[None]
-        return tau, self.ssa, self.asy
+        nb = len(self.band_scale)
+        bshape = (nb,) + (1,) * tau550.ndim
+        tau = jnp.asarray(self.band_scale).reshape(bshape) * tau550[
+            None
+        ]
+        ssa = jnp.asarray(self.band_ssa).reshape(bshape)
+        asy = jnp.asarray(self.band_asy).reshape(bshape)
+        return tau, ssa, asy

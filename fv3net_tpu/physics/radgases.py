@@ -27,76 +27,115 @@ import numpy as np
 
 from ..constants import GRAV
 
-# --- LW band structure: wavenumber limits (cm^-1), 8 bands ------------
-# (merged RRTMG bands: rotation band, window, 15um CO2, vibration bands)
+# --- LW band structure: the 16 RRTMG_LW bands (wavenumber limits,
+# cm^-1; radlw_main.py / radlw_param `wvnlw1/wvnlw2`) -------------------
 LW_BAND_LIMITS = np.array(
     [
-        [10.0, 350.0],    # H2O rotation
-        [350.0, 630.0],   # H2O rotation wing
-        [630.0, 700.0],   # CO2 15um core
-        [700.0, 820.0],   # CO2 15um wing
-        [820.0, 980.0],   # window
-        [980.0, 1080.0],  # O3 9.6um
-        [1080.0, 1390.0], # window / weak H2O
-        [1390.0, 3250.0], # H2O vibration-rotation
+        [10.0, 350.0],     # 1: H2O rotation
+        [350.0, 500.0],    # 2: H2O rotation wing
+        [500.0, 630.0],    # 3: H2O / CO2 overlap
+        [630.0, 700.0],    # 4: CO2 15um core
+        [700.0, 820.0],    # 5: CO2 15um wing
+        [820.0, 980.0],    # 6: window
+        [980.0, 1080.0],   # 7: O3 9.6um
+        [1080.0, 1180.0],  # 8: window / weak H2O
+        [1180.0, 1390.0],  # 9: CH4/N2O region (weak H2O here)
+        [1390.0, 1480.0],  # 10: H2O nu2 core
+        [1480.0, 1800.0],  # 11: H2O nu2
+        [1800.0, 2080.0],  # 12: H2O/CO2
+        [2080.0, 2250.0],  # 13: N2O/CO2 region
+        [2250.0, 2380.0],  # 14: CO2 4.3um core
+        [2380.0, 2600.0],  # 15: CO2 4.3um wing
+        [2600.0, 3250.0],  # 16: H2O 2.7um
     ]
 )
 NBANDS_LW = len(LW_BAND_LIMITS)
 
-# mass absorption coefficients per band (m^2/kg of absorber)
-# rows: band; columns implicit per absorber
-LW_K_H2O = np.array([18.0, 4.5, 0.8, 0.45, 0.045, 0.09, 0.22, 2.8])
-LW_K_CO2 = np.array([0.0, 0.12, 75.0, 9.0, 0.02, 0.0, 0.05, 0.4])
-LW_K_O3 = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 28.0, 0.0, 0.0])
+# band-mean mass absorption coefficients (m^2/kg of absorber)
+LW_K_H2O = np.array(
+    [25.0, 6.0, 2.5, 0.8, 0.45, 0.045, 0.09, 0.12,
+     0.35, 6.0, 3.0, 1.2, 0.5, 0.05, 0.1, 1.5]
+)
+LW_K_CO2 = np.array(
+    [0.0, 0.12, 0.2, 75.0, 9.0, 0.02, 0.0, 0.02,
+     0.05, 0.0, 0.0, 0.3, 1.5, 60.0, 8.0, 0.4]
+)
+LW_K_O3 = np.array(
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 28.0, 0.0,
+     0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+)
 # water-vapor self-continuum (scaled by vapor path * vapor pressure)
-LW_K_SELF = np.array([4.0, 2.2, 0.6, 0.7, 0.55, 0.30, 0.26, 0.65])
+LW_K_SELF = np.array(
+    [4.5, 2.6, 2.0, 0.6, 0.7, 0.55, 0.30, 0.26,
+     0.26, 0.8, 0.65, 0.4, 0.3, 0.1, 0.1, 0.3]
+)
 
-# --- SW band structure: 12 bands toward the RRTMG 14-band layout ------
-# (radsw_main.py band groupings; r3 carried 6 bands, r4 splits each in
-# two with physically-motivated sub-band optics: the Hartley/Huggins
-# vs Chappuis ozone separation, the 0.94/1.1/1.38/1.87/2.7 um water
-# band ladder, lambda^-4 Rayleigh within each pair.  Pairwise sums
-# preserve the validated 6-band fractions.)
-# approximate wavelength ranges (um), documentation only
-SW_BAND_RANGE_UM = np.array(
+# --- SW band structure: the 14 RRTMG_SW bands (radsw_main.py /
+# radsw_param `wvnum1/wvnum2`, bands jpb16-29), ordered short -> long
+# wavelength; the last band is RRTMG's wrap-around 820-2600 cm^-1 -----
+SW_BAND_LIMITS_CM1 = np.array(
     [
-        [0.20, 0.30],  # UV-C/B: O3 Hartley
-        [0.30, 0.44],  # UV-A: O3 Huggins
-        [0.44, 0.56],  # blue-green
-        [0.56, 0.70],  # red: O3 Chappuis
-        [0.70, 0.85],  # NIR window
-        [0.85, 1.00],  # 0.94 um H2O
-        [1.00, 1.25],  # 1.1 um H2O
-        [1.25, 1.60],  # 1.38 um H2O (strong)
-        [1.60, 2.15],  # 1.87 um H2O
-        [2.15, 2.90],  # 2.7 um H2O/CO2
-        [2.90, 3.40],  # 3.2 um H2O
-        [3.40, 12.2],  # solar tail
+        [38000.0, 50000.0],  # 0.20-0.263 um: O3 Hartley
+        [29000.0, 38000.0],  # 0.263-0.345: O3 Hartley/Huggins
+        [22650.0, 29000.0],  # 0.345-0.44: UV-A
+        [16000.0, 22650.0],  # 0.44-0.625: visible, O3 Chappuis
+        [12850.0, 16000.0],  # 0.625-0.78: red
+        [8050.0, 12850.0],   # 0.78-1.24: NIR, 0.94/1.1um H2O
+        [7700.0, 8050.0],    # 1.24-1.30: O2/H2O
+        [6150.0, 7700.0],    # 1.30-1.63: 1.38um H2O (strong)
+        [5150.0, 6150.0],    # 1.63-1.94: 1.87um H2O
+        [4650.0, 5150.0],    # 1.94-2.15: H2O/CO2
+        [4000.0, 4650.0],    # 2.15-2.50: H2O/CH4
+        [3250.0, 4000.0],    # 2.50-3.08: 2.7um H2O/CO2
+        [2600.0, 3250.0],    # 3.08-3.85: H2O
+        [820.0, 2600.0],     # 3.85-12.2: solar tail (wrap band)
     ]
 )
-# fraction of TOA solar irradiance per band (sums to 1)
+SW_BAND_RANGE_UM = 1e4 / SW_BAND_LIMITS_CM1[:, ::-1]
+# band is in the UV-visible albedo window (lambda < 0.7 um, the
+# setalb/radiation_surface.py uvb-vs-nir split)
+SW_BAND_UVVIS = SW_BAND_LIMITS_CM1[:, 0] >= 14286.0
+# fraction of TOA solar irradiance per band (Kurucz spectrum integrated
+# over the RRTMG limits, normalized; sums to 1)
 SW_BAND_FRAC = np.array(
-    [0.035, 0.083, 0.160, 0.197, 0.120, 0.132,
-     0.080, 0.078, 0.045, 0.037, 0.020, 0.013]
+    [0.0091, 0.0345, 0.1085, 0.2126, 0.1638, 0.2665, 0.0165,
+     0.0560, 0.0377, 0.0079, 0.0155, 0.0237, 0.0021, 0.0456]
 )
 SW_K_H2O = np.array(
-    [0.0, 0.0, 0.0, 0.0, 0.004, 0.02,
-     0.25, 0.70, 2.2, 4.5, 12.0, 38.0]
+    [0.0, 0.0, 0.0, 0.0, 0.002, 0.08, 0.35,
+     1.6, 1.2, 2.5, 3.5, 8.0, 15.0, 30.0]
 )
 SW_K_O3 = np.array(
-    [600.0, 40.0, 3.0, 7.5, 0.0, 0.0,
-     0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    [900.0, 120.0, 2.0, 5.5, 2.0, 0.0, 0.0,
+     0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 )
 SW_K_CO2 = np.array(
-    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-     0.0, 0.006, 0.02, 0.07, 0.25, 0.50]
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+     0.003, 0.01, 0.04, 0.08, 0.25, 0.10, 0.80]
 )
 # Rayleigh optical depth per unit (p/p0) of column, per band
+# (~0.0088 lambda^-4 at the band-center wavelengths)
 SW_TAU_RAYLEIGH = np.array(
-    [0.75, 0.22, 0.085, 0.018, 0.009, 0.004,
-     0.0022, 0.0009, 0.0004, 0.00015, 0.00008, 0.00003]
+    [3.1, 1.05, 0.37, 0.112, 0.037, 0.0097, 0.0034,
+     0.0019, 0.00088, 0.00051, 0.00031, 0.00014, 6e-05, 1e-05]
 )
 NBANDS_SW = len(SW_BAND_FRAC)
+
+# --- correlated-k g-point quadrature ---------------------------------
+# Each band's k-distribution is represented by a small exponential-sum
+# quadrature: tau_g = mult_g * k_band * u, flux = sum_g w_g * flux_g.
+# The multipliers span the weak-to-strong line range of a Malkmus band
+# (the role of RRTMG's 112/140 per-band g-points, radsw_main.py /
+# radlw_main.py absorption-coefficient tables); sum(w) = 1 and
+# sum(w*mult) = 1 so the band-mean optical depth is preserved while
+# the band TRANSMISSION follows a curve-of-growth instead of a single
+# exponential.
+SW_GPT_MULT = np.array([0.08, 0.40, 1.60, 6.00])
+SW_GPT_W = np.array([0.35, 0.35, 0.22, 0.08])
+LW_GPT_MULT = np.array([0.08, 0.40, 1.60, 6.00])
+LW_GPT_W = np.array([0.35, 0.35, 0.22, 0.08])
+NGPT_SW = len(SW_GPT_W)
+NGPT_LW = len(LW_GPT_W)
 
 
 @dataclasses.dataclass

@@ -183,7 +183,11 @@ class MultibandRadiationDriver:
             return jnp.moveaxis(x, 1, 0)
 
         if self.albedo is None:
-            alb = surface_albedo(
+            # spectral direct/diffuse x UV-VIS/NIR components (setalb
+            # contract); radsw selects the window per band
+            from .radsurface import surface_albedo_spectral
+
+            alb = surface_albedo_spectral(
                 jnp.maximum(cosz, 0.0), land_mask, snow
             )
             emis = surface_emissivity(land_mask, snow)

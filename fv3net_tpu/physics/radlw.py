@@ -81,6 +81,8 @@ class RadLWClass:
 
     def optical_depth(self, p_lay, delp, sphum, o3mmr, ql, qi,
                       cldfrac):
+        """(tau_gas, tau_cld): the gas part takes the correlated-k
+        multipliers; clouds are grey within each band."""
         u_h2o, u_co2, u_o3 = radgases.absorber_paths(
             delp, sphum, o3mmr, self.gases.co2_mass_mixing_ratio()
         )
@@ -101,7 +103,7 @@ class RadLWClass:
         cwp_l, cwp_i = radclouds.condensate_paths(delp, ql, qi)
         eff = jnp.clip(cldfrac, 0.0, 1.0)
         tau_cld = radclouds.cloud_optics_lw(cwp_l * eff, cwp_i * eff)
-        return tau + tau_cld[None]
+        return tau, tau_cld[None]
 
     def __call__(self, p_lay, delp, temp, sphum, o3mmr, ql, qi,
                  cldfrac, tsfc, sfc_emissivity=0.98):
@@ -111,52 +113,61 @@ class RadLWClass:
         [...cols].  Returns interface fluxes [nz+1, ...] and heating
         rate [nz, ...] in K/s.
         """
-        tau = self.optical_depth(
+        tau_gas, tau_cld = self.optical_depth(
             p_lay, delp, sphum, o3mmr, ql, qi, cldfrac
         )
-        trans = jnp.exp(-jnp.minimum(DIFFUSIVITY * tau, 50.0))
-        emis = 1.0 - trans
         src = planck_band_flux(temp)  # [band, nz, ...]
-
-        def down_step(fdn, inp):
-            t, b = inp
-            new = fdn * t + b * (1.0 - t)
-            return new, new
-
-        nb = radgases.NBANDS_LW
-        zero = jnp.zeros(src.shape[:1] + src.shape[2:], src.dtype)
-        # scan over the level axis (axis 1 of [band, nz, ...])
-        _, fdn_body = jax.lax.scan(
-            down_step, zero,
-            (jnp.moveaxis(trans, 1, 0), jnp.moveaxis(src, 1, 0)),
-        )
-        # fdn_body stacks the scan axis first: [nz, band, ...]
-        flux_dn = jnp.concatenate(
-            [zero[None], fdn_body], axis=0
-        )  # [nz+1, band, ...]
-
         b_sfc = planck_band_flux(tsfc)  # [band, ...]
-        fup_sfc = (
-            sfc_emissivity * b_sfc
-            + (1.0 - sfc_emissivity) * flux_dn[-1]
+        zero = jnp.zeros(src.shape[:1] + src.shape[2:], src.dtype)
+
+        def per_gpoint(mult):
+            # correlated-k quadrature point on the GAS absorption
+            tau = tau_gas * mult + tau_cld
+            trans = jnp.exp(-jnp.minimum(DIFFUSIVITY * tau, 50.0))
+
+            def down_step(fdn, inp):
+                t, b = inp
+                new = fdn * t + b * (1.0 - t)
+                return new, new
+
+            # scan over the level axis (axis 1 of [band, nz, ...])
+            _, fdn_body = jax.lax.scan(
+                down_step, zero,
+                (jnp.moveaxis(trans, 1, 0), jnp.moveaxis(src, 1, 0)),
+            )
+            flux_dn = jnp.concatenate(
+                [zero[None], fdn_body], axis=0
+            )  # [nz+1, band, ...]
+
+            fup_sfc = (
+                sfc_emissivity * b_sfc
+                + (1.0 - sfc_emissivity) * flux_dn[-1]
+            )
+
+            def up_step(fup, inp):
+                t, b = inp
+                new = fup * t + b * (1.0 - t)
+                return new, new
+
+            _, fup_body = jax.lax.scan(
+                up_step, fup_sfc,
+                (jnp.moveaxis(trans, 1, 0)[::-1],
+                 jnp.moveaxis(src, 1, 0)[::-1]),
+            )
+            flux_up = jnp.concatenate(
+                [fup_sfc[None], fup_body], axis=0
+            )[::-1]  # [nz+1, band, ...]
+            return flux_dn, flux_up
+
+        fd_g, fu_g = jax.lax.map(
+            per_gpoint,
+            jnp.asarray(radgases.LW_GPT_MULT, delp.dtype),
         )
-
-        def up_step(fup, inp):
-            t, b = inp
-            new = fup * t + b * (1.0 - t)
-            return new, new
-
-        _, fup_body = jax.lax.scan(
-            up_step, fup_sfc,
-            (jnp.moveaxis(trans, 1, 0)[::-1],
-             jnp.moveaxis(src, 1, 0)[::-1]),
+        w_gpt = jnp.asarray(radgases.LW_GPT_W, delp.dtype).reshape(
+            (-1,) + (1,) * (fd_g.ndim - 1)
         )
-        flux_up = jnp.concatenate(
-            [fup_sfc[None], fup_body], axis=0
-        )[::-1]  # [nz+1, band, ...]
-
-        flux_dn_tot = flux_dn.sum(axis=1)
-        flux_up_tot = flux_up.sum(axis=1)
+        flux_dn_tot = (w_gpt * fd_g).sum(axis=(0, 2))
+        flux_up_tot = (w_gpt * fu_g).sum(axis=(0, 2))
         net = flux_up_tot - flux_dn_tot  # upward positive
         heating = -(net[:-1] - net[1:]) * GRAV / (CP_AIR * delp)
         return {

@@ -60,6 +60,46 @@ def surface_albedo(cosz, land_mask=None, snow_swe=0.0,
     return land_mask * land + (1.0 - land_mask) * ocean
 
 
+def surface_albedo_spectral(cosz, land_mask=None, snow_swe=0.0,
+                            land_albedo_vis=0.12,
+                            land_albedo_nir=0.28):
+    """Spectral direct/diffuse surface albedo (the full setalb
+    contract, radiation_surface.py: sfcalb components
+    nir-direct / nir-diffuse / uvvis-direct / uvvis-diffuse).
+
+    Returns a dict with keys 'uvvis_dir', 'uvvis_dif', 'nir_dir',
+    'nir_dif'.  Ocean: Briegleb zenith-dependent direct beam + a flat
+    0.06 diffuse; land: vegetation/soil VIS-dark NIR-bright split;
+    snow: 0.90 VIS / 0.58 NIR with the fresh-snow zenith correction.
+    """
+    mu = jnp.clip(cosz, 0.0, 1.0)
+    ocean_dir = ocean_albedo(cosz)
+    ocean_dif = jnp.full_like(ocean_dir, 0.06)
+    if land_mask is None:
+        land_mask = jnp.zeros_like(ocean_dir)
+    land_mask = jnp.asarray(land_mask)
+    sfrac = snow_fraction(snow_swe)
+    zen = 1.0 - 0.08 * mu  # fresh-snow zenith correction
+    snow_vis = 0.90 * zen
+    snow_nir = 0.58 * zen
+
+    def blend(base, snow_alb):
+        land = base + (snow_alb - base) * sfrac
+        return land
+
+    out = {}
+    for key, land_base, snow_alb, oc in (
+        ("uvvis_dir", land_albedo_vis, snow_vis, ocean_dir),
+        ("uvvis_dif", land_albedo_vis, snow_vis, ocean_dif),
+        ("nir_dir", land_albedo_nir, snow_nir, ocean_dir),
+        ("nir_dif", land_albedo_nir, snow_nir, ocean_dif),
+    ):
+        out[key] = land_mask * blend(land_base, snow_alb) + (
+            1.0 - land_mask
+        ) * oc
+    return out
+
+
 def surface_emissivity(land_mask=None, snow_swe=0.0):
     """Broadband LW emissivity (setemis role)."""
     sfrac = snow_fraction(snow_swe)

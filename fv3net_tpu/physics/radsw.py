@@ -10,8 +10,13 @@ Plays the role of the reference's `radsw/radsw_main.py` (`RadSWClass`,
   adding method via `lax.scan` over the (static) level dimension with
   all bands and columns batched — each scan step is a fat elementwise
   block over [band, cols], ideal VPU shape, no host control flow;
-- no lookup tables or g-point loops: a reduced 6-band model with
-  analytic gas optics (see radgases.py).
+- the 14 RRTMG_SW bands (radgases.SW_BAND_LIMITS_CM1) each carry a
+  small correlated-k quadrature (radgases.SW_GPT_*): gas optical depth
+  is evaluated at NGPT_SW multipliers per band with `lax.map`
+  (sequential, memory-bounded) and the fluxes g-weight-summed —
+  the curve-of-growth role of RRTMG's 112 g-points;
+- spectral surface albedo: direct/diffuse x UV-VIS/NIR components
+  (radsurface.surface_albedo_spectral) selected per band.
 
 Validated in tests/test_radiation.py: conservation (TOA net = column
 absorption + surface net), no-atmosphere limit, heating-rate ranges.
@@ -181,33 +186,65 @@ class RadSWClass:
         tau_c, w_c, g_c = radclouds.cloud_optics_sw(
             cwp_l * eff, cwp_i * eff
         )
-        tau = tau_gas + tau_ray + tau_aer + tau_c[None]
+        # grey (g-point-independent) scattering components
+        tau_grey = tau_ray + tau_aer + tau_c[None]
         wtau = tau_ray + tau_aer * w_aer + (w_c * tau_c)[None]
-        w = jnp.clip(wtau / jnp.maximum(tau, 1e-12), 0.0, 1.0 - 1e-6)
         gwtau = tau_aer * w_aer * g_aer + (g_c * w_c * tau_c)[None]
-        g = gwtau / jnp.maximum(wtau, 1e-12)
+        g_eff = gwtau / jnp.maximum(wtau, 1e-12)
 
-        tau, w, g = delta_scale(tau, w, g)
         mu0c = jnp.maximum(mu0, 1e-3)
-        rdif, tdif, rdir, tdir_dif, t0 = two_stream_layer(
-            tau, w, g, mu0c
-        )
         toa = solcon * jnp.asarray(radgases.SW_BAND_FRAC).reshape(
             (nb,) + (1,) * (delp.ndim - 1)
         ) * jnp.ones_like(mu0c)[None]
-        alb = jnp.broadcast_to(sfc_albedo, toa.shape)
+        # spectral surface albedo: a dict selects the UV-VIS vs NIR
+        # component per band (setalb contract); a scalar/array is the
+        # legacy broadband form
+        uvvis = jnp.asarray(radgases.SW_BAND_UVVIS).reshape(
+            (nb,) + (1,) * (delp.ndim - 1)
+        )
+        if isinstance(sfc_albedo, dict):
+            alb_dir = jnp.where(
+                uvvis, sfc_albedo["uvvis_dir"][None],
+                sfc_albedo["nir_dir"][None],
+            ) * jnp.ones_like(toa)
+            alb_dif = jnp.where(
+                uvvis, sfc_albedo["uvvis_dif"][None],
+                sfc_albedo["nir_dif"][None],
+            ) * jnp.ones_like(toa)
+        else:
+            alb_dir = jnp.broadcast_to(sfc_albedo, toa.shape)
+            alb_dif = alb_dir
 
         def solve_band(args):
-            rd, td, rr, tdf, tt0, tb, ab = args
+            rd, td, rr, tdf, tt0, tb, abr, abf = args
             return adding_method(
-                rd, td, rr, tdf, tt0, ab, ab, mu0c, tb
+                rd, td, rr, tdf, tt0, abf, abr, mu0c, tb
             )
 
-        flux_dn, flux_up = jax.vmap(solve_band)(
-            (rdif, tdif, rdir, tdir_dif, t0, toa, alb)
+        def per_gpoint(mult):
+            # correlated-k quadrature point: scale the GAS absorption
+            tau_g = tau_gas * mult + tau_grey
+            w_g = jnp.clip(
+                wtau / jnp.maximum(tau_g, 1e-12), 0.0, 1.0 - 1e-6
+            )
+            tau_s, w_s, g_s = delta_scale(tau_g, w_g, g_eff)
+            rdif, tdif, rdir, tdir_dif, t0 = two_stream_layer(
+                tau_s, w_s, g_s, mu0c
+            )
+            return jax.vmap(solve_band)(
+                (rdif, tdif, rdir, tdir_dif, t0, toa, alb_dir,
+                 alb_dif)
+            )
+
+        # sequential over quadrature points (memory-bounded)
+        fd_g, fu_g = jax.lax.map(
+            per_gpoint, jnp.asarray(radgases.SW_GPT_MULT, delp.dtype)
         )
-        flux_dn = flux_dn.sum(axis=0)
-        flux_up = flux_up.sum(axis=0)
+        w_gpt = jnp.asarray(radgases.SW_GPT_W, delp.dtype).reshape(
+            (-1,) + (1,) * (fd_g.ndim - 1)
+        )
+        flux_dn = (w_gpt * fd_g).sum(axis=(0, 1))
+        flux_up = (w_gpt * fu_g).sum(axis=(0, 1))
         day = (mu0 > 1e-3).astype(flux_dn.dtype)
         flux_dn = flux_dn * day[None]
         flux_up = flux_up * day[None]

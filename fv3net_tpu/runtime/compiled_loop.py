@@ -137,14 +137,32 @@ def build_compiled_step(mdl, ml_model=None, split: bool = False):
             temp = temp + heating * dt
             diags.update(out)
         t_b, q_b = temp, qv
+        extra = []  # prognostic hydrometeors beyond (qv, qc)
         if cfg.physics_suite == "gfs":
+            prognostic_mp = (
+                st.q.shape[0] >= 6
+                and gfs_cfg.microphysics_scheme == "gfdl"
+            )
+            mp_tracers = (
+                tuple(st.q[2:6]) if prognostic_mp else None
+            )
             pout, pdiags = gfs_physics_step(
                 temp, qv, qc, st.u, st.v, st.delp, tsfc,
                 jnp.asarray(ptop, dtype), dt, cfg=gfs_cfg,
+                mp_tracers=mp_tracers,
             )
             temp = pout["air_temperature"]
             qv = pout["specific_humidity"]
             qc = pout["cloud_water_mixing_ratio"]
+            if prognostic_mp:
+                extra = [
+                    pout["cloud_ice_mixing_ratio"],
+                    pout["rain_mixing_ratio"],
+                    pout["snow_mixing_ratio"],
+                    pout["graupel_mixing_ratio"],
+                ]
+            else:
+                extra = []
             st = st._replace(
                 u=pout["u_dgrid"].astype(dtype),
                 v=pout["v_dgrid"].astype(dtype),
@@ -172,7 +190,7 @@ def build_compiled_step(mdl, ml_model=None, split: bool = False):
             pt=pt_from_temperature(st.delp, temp, qv, ptop).astype(
                 dtype
             ),
-            q=jnp.stack([qv, qc]).astype(dtype),
+            q=jnp.stack([qv, qc] + extra).astype(dtype),
         )
         return st, total_precip, precip_rate, diags
 
@@ -210,7 +228,9 @@ def build_compiled_step(mdl, ml_model=None, split: bool = False):
             pt=pt_from_temperature(delp2, t2, qv2, ptop).astype(
                 dtype
             ),
-            q=jnp.stack([qv2, qc]).astype(dtype),
+            q=jnp.concatenate(
+                [jnp.stack([qv2, qc]), st.q[2:]]
+            ).astype(dtype),
         )
         return st, diags
 

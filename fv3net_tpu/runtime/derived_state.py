@@ -542,9 +542,11 @@ class DerivedModelState(MutableMapping):
             self._wrapper._properties.DYNAMICS_PROPERTIES
             + self._wrapper._properties.PHYSICS_PROPERTIES
         )
-        return [p["name"] for p in props] + [
-            names.SPHUM,
-            names.CLOUD,
+        try:  # every active tracer (6-species GFDL set included)
+            tracers = list(self._wrapper.get_tracer_metadata())
+        except Exception:
+            tracers = [names.SPHUM, names.CLOUD]
+        return [p["name"] for p in props] + tracers + [
             names.X_WIND,
             names.Y_WIND,
             names.EASTWARD_WIND,

@@ -85,6 +85,35 @@ def _segments(url: str):
     return sorted(os.listdir(arts))
 
 
+def post_process_segment(seg_dir: str, time_chunk: int = 96):
+    """Rechunk + float32-encode every zarr store the segment wrote
+    (the reference's post-segment `fv3post.post_process` rechunk/
+    encode pass, workflows/post_process_run/fv3post/post_process.py:
+    49-54): diagnostics land with per-step time chunks; downstream
+    readers want large time chunks and compact dtypes."""
+    import shutil
+
+    from ..io.zarr_lite import rechunk_store
+
+    for name in sorted(os.listdir(seg_dir)):
+        if not name.endswith(".zarr"):
+            continue
+        src = os.path.join(seg_dir, name)
+        if not os.path.isdir(src):
+            continue
+        tmp = src + ".rechunk"
+        try:
+            rechunk_store(
+                src, tmp, cast="float32", time_chunk=time_chunk
+            )
+        except (OSError, ValueError, KeyError) as e:
+            logger.warning("post-process skip %s: %r", name, e)
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        shutil.rmtree(src)
+        os.replace(tmp, src)
+
+
 def append(url: str, n_steps: Optional[int] = None) -> int:
     """Run one more segment, resuming from the previous one
     (segmented_run/append.py:37-60)."""
@@ -139,6 +168,7 @@ def append(url: str, n_steps: Optional[int] = None) -> int:
     write_timing_json(loop.timer, seg_dir)
 
     write_restart(wrapper, os.path.join(seg_dir, "RESTART"))
+    post_process_segment(seg_dir)
     # lineage breadcrumb (segmented_run/append.py:47-51 StepMetadata)
     from ..utils.artifacts import StepMetadata
 

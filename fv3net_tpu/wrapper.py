@@ -68,6 +68,25 @@ TIME = "time"
 DIMS_3D = ("tile", "z", "y", "x")
 DIMS_2D = ("tile", "y", "x")
 
+CLOUD_ICE = "cloud_ice_mixing_ratio"
+RAIN = "rain_mixing_ratio"
+SNOW = "snow_mixing_ratio"
+GRAUPEL = "graupel_mixing_ratio"
+
+# tracer registry in dycore-q order; the 6-species set mirrors the
+# reference's in-dycore GFDL MP tracer list (fv_core_nml ncnst with
+# sphum/liq_wat/ice_wat/rainwat/snowwat/graupel,
+# workflows/prognostic_c48_run/tests/test_regression.py:133-200)
+TRACER_NAMES_2 = (SPHUM, CLOUD)
+TRACER_NAMES_6 = (SPHUM, CLOUD, CLOUD_ICE, RAIN, SNOW, GRAUPEL)
+_FORTRAN_TRACER = {
+    SPHUM: "sphum",
+    CLOUD: "liq_wat",
+    CLOUD_ICE: "ice_wat",
+    RAIN: "rainwat",
+    SNOW: "snowwat",
+    GRAUPEL: "graupel",
+}
 TRACER_METADATA = {
     SPHUM: {"i_tracer": 1, "fortran_name": "sphum", "units": "kg/kg"},
     CLOUD: {"i_tracer": 2, "fortran_name": "liq_wat", "units": "kg/kg"},
@@ -143,6 +162,12 @@ class ModelConfig:
     do_sat_adj: bool = True
     physics_suite: str = "simple"  # "simple" | "gfs" | "none"
     do_radiation: bool = True  # gray radiation inside the gfs suite
+    # "zhao_carr" | "gfdl" (GFSPhysicsConfig.microphysics_scheme)
+    microphysics_scheme: str = "zhao_carr"
+    # carry ice/rain/snow/graupel as ADVECTED dycore tracers (the
+    # reference's in-dycore GFDL MP over the full tracer set); the
+    # hydrometeors then keep falling-precipitation memory across steps
+    prognostic_mp_tracers: bool = False
     dtype: str = "float32"
     initial_time: str = "2016-08-01T00:00:00"
     # FV3GFS run directory with INPUT/*.tile?.nc Fortran restarts; the
@@ -160,6 +185,14 @@ class _Model:
 
     def initialize(self, config: Optional[ModelConfig] = None):
         cfg = config or ModelConfig()
+        if cfg.prognostic_mp_tracers and not (
+            cfg.physics_suite == "gfs"
+            and cfg.microphysics_scheme == "gfdl"
+        ):
+            raise ValueError(
+                "prognostic_mp_tracers requires physics_suite='gfs' "
+                "with microphysics_scheme='gfdl'"
+            )
         self.config = cfg
         n = cfg.npx - 1
         self.n = n
@@ -216,10 +249,20 @@ class _Model:
             from .dycore.hydro import add_nonhydrostatic_fields
 
             st = add_nonhydrostatic_fields(st, self.config.ptop)
+        nt = len(self.tracer_names)
         if st.q is None:
             st = st._replace(
-                q=jnp.zeros((2, 6, self.nz, self.n, self.n), self.dtype)
+                q=jnp.zeros(
+                    (nt, 6, self.nz, self.n, self.n), self.dtype
+                )
             )
+        elif st.q.shape[0] < nt:
+            # restart with fewer species than the configured tracer
+            # set: missing hydrometeors start at zero
+            pad = jnp.zeros(
+                (nt - st.q.shape[0],) + st.q.shape[1:], self.dtype
+            )
+            st = st._replace(q=jnp.concatenate([st.q, pad], axis=0))
         self.state = st
         self.phis = jnp.asarray(phis, self.dtype)
         coupler = os.path.join(rundir, prefix, "coupler.res")
@@ -290,7 +333,15 @@ class _Model:
         pi_lay = 0.5 * (pik[1:] + pik[:-1])
         theta = 280.0 / pi_lay
         pt = np.broadcast_to(theta, (6, nz, n, n)).copy()
-        q = np.zeros((2, 6, nz, n, n))  # sphum, cloud
+        self.tracer_names = (
+            TRACER_NAMES_6
+            if self.config.prognostic_mp_tracers
+            else TRACER_NAMES_2
+        )
+        self._tracer_index = {
+            nm: i for i, nm in enumerate(self.tracer_names)
+        }
+        q = np.zeros((len(self.tracer_names), 6, nz, n, n))
         self.state = DycoreState(
             jnp.asarray(delp, dtype),
             jnp.asarray(pt, dtype),
@@ -319,7 +370,9 @@ class _Model:
         if self.config.physics_suite == "gfs":
             from .physics.gfs import GFSPhysicsConfig
 
-            self.gfs_config = GFSPhysicsConfig()
+            self.gfs_config = GFSPhysicsConfig(
+                microphysics_scheme=self.config.microphysics_scheme
+            )
             if self.config.do_radiation:
                 from .physics.radiation import RadiationDriver
 
@@ -464,9 +517,16 @@ class _Model:
         inline_micro = hooks is None
 
         run_cfg = _dc.replace(cfg, do_microphysics=inline_micro)
+        mp_tracers = (
+            tuple(self.state.q[2:6])
+            if len(self.tracer_names) >= 6
+            and cfg.microphysics_scheme == "gfdl"
+            else None
+        )
         out, diags = gfs_physics_step(
             t, qv, qc, self.state.u, self.state.v, delp, tsfc,
             jnp.asarray(self.config.ptop, dtype), dt, cfg=run_cfg,
+            mp_tracers=mp_tracers,
         )
         t2 = out["air_temperature"]
         qv2 = out["specific_humidity"]
@@ -537,8 +597,20 @@ class _Model:
             precip = precip + pr_np
             store_hook(sd)
 
+        if mp_tracers is not None:
+            q_new = jnp.stack(
+                [
+                    qv2, qc2,
+                    out["cloud_ice_mixing_ratio"],
+                    out["rain_mixing_ratio"],
+                    out["snow_mixing_ratio"],
+                    out["graupel_mixing_ratio"],
+                ]
+            )
+        else:
+            q_new = jnp.stack([qv2, qc2])
         self.state = self.state._replace(
-            q=jnp.stack([qv2, qc2]).astype(dtype),
+            q=q_new.astype(dtype),
             u=out["u_dgrid"].astype(dtype),
             v=out["v_dgrid"].astype(dtype),
         )
@@ -569,13 +641,10 @@ class _Model:
                 out[name] = Quantity(
                     self.state.delp, DIMS_3D, "Pa"
                 )
-            elif name == SPHUM:
+            elif name in self._tracer_index:
                 out[name] = Quantity(
-                    self.state.q[0], DIMS_3D, "kg/kg"
-                )
-            elif name == CLOUD:
-                out[name] = Quantity(
-                    self.state.q[1], DIMS_3D, "kg/kg"
+                    self.state.q[self._tracer_index[name]],
+                    DIMS_3D, "kg/kg",
                 )
             elif name == X_WIND:
                 out[name] = Quantity(
@@ -645,17 +714,12 @@ class _Model:
                 self.state = self.state._replace(
                     delp=jnp.asarray(qty.data, self.dtype)
                 )
-            elif name == SPHUM:
-                q = np.array(self.state.q)
-                q[0] = np.asarray(qty.data)
+            elif name in self._tracer_index:
+                idx = self._tracer_index[name]
                 self.state = self.state._replace(
-                    q=jnp.asarray(q, self.dtype)
-                )
-            elif name == CLOUD:
-                q = np.array(self.state.q)
-                q[1] = np.asarray(qty.data)
-                self.state = self.state._replace(
-                    q=jnp.asarray(q, self.dtype)
+                    q=self.state.q.at[idx].set(
+                        jnp.asarray(qty.data, self.dtype)
+                    )
                 )
             elif name == X_WIND:
                 self.state = self.state._replace(
@@ -760,7 +824,14 @@ class _Model:
         ]
 
     def get_tracer_metadata(self) -> Dict:
-        return dict(TRACER_METADATA)
+        return {
+            nm: {
+                "i_tracer": i + 1,
+                "fortran_name": _FORTRAN_TRACER[nm],
+                "units": "kg/kg",
+            }
+            for i, nm in enumerate(self.tracer_names)
+        }
 
     def get_step_count(self) -> int:
         return self.step_count

@@ -177,3 +177,69 @@ def test_sim1_pallas_odd_rows():
     np.testing.assert_allclose(
         np.asarray(w2), np.asarray(w_ref), rtol=1e-5, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# vertical remap (ops/pallas_remap.py)
+# ---------------------------------------------------------------------------
+
+
+def _remap_args(n=8, km=13, kn=13, seed=0, stag=(0, 0)):
+    rng = np.random.RandomState(seed)
+    ny, nx = n + stag[0], n + stag[1]
+    ps, ptop = 1.0e5, 300.0
+    pe1 = np.sort(
+        np.broadcast_to(
+            np.linspace(ptop, ps, km + 1)[:, None, None],
+            (km + 1, ny, nx),
+        )
+        * (1.0 + 0.02 * rng.rand(6, km + 1, ny, nx)),
+        axis=1,
+    )
+    # target grid: same endpoints, redistributed interiors (the
+    # Lagrangian->Eulerian situation)
+    w = np.sort(rng.rand(6, kn + 1, ny, nx), axis=1)
+    w = (w - w[:, :1]) / (w[:, -1:] - w[:, :1])
+    pe2 = pe1[:, :1] + (pe1[:, -1:] - pe1[:, :1]) * w
+    q = 1.0 + rng.randn(6, km, ny, nx)
+    f32 = np.float32
+    return (
+        jnp.asarray(q, f32), jnp.asarray(pe1, f32),
+        jnp.asarray(pe2, f32),
+    )
+
+
+@pytest.mark.parametrize("iv", [1, 0, -1])
+@pytest.mark.parametrize("stag", [(0, 0), (1, 0), (0, 1)])
+def test_ppm_remap_pallas_matches_jnp(iv, stag):
+    from fv3net_tpu.ops.pallas_remap import ppm_remap_pallas
+    from fv3net_tpu.ops.remap import ppm_remap
+
+    q, pe1, pe2 = _remap_args(stag=stag)
+    ref = jnp.moveaxis(
+        ppm_remap(
+            jnp.moveaxis(q, 1, 0), jnp.moveaxis(pe1, 1, 0),
+            jnp.moveaxis(pe2, 1, 0), iv=iv, kord=9,
+            exact_boundaries=True,
+        ),
+        0, 1,
+    )
+    out = ppm_remap_pallas(q, pe1, pe2, iv=iv, kord=9, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ppm_remap_pallas_conservative():
+    from fv3net_tpu.ops.pallas_remap import ppm_remap_pallas
+
+    q, pe1, pe2 = _remap_args(seed=4)
+    out = ppm_remap_pallas(q, pe1, pe2, iv=1, kord=9, interpret=True)
+    m1 = np.sum(
+        np.asarray(q) * np.asarray(pe1[:, 1:] - pe1[:, :-1]), axis=1
+    )
+    m2 = np.sum(
+        np.asarray(out) * np.asarray(pe2[:, 1:] - pe2[:, :-1]),
+        axis=1,
+    )
+    np.testing.assert_allclose(m2, m1, rtol=2e-4)

@@ -413,29 +413,122 @@ def test_driver_snow_and_land_change_surface_budget():
 
 
 def test_sw_band_structure_invariants():
-    """12-band structure physics (VERDICT r3 item 8: band depth toward
-    the RRTMG 14-band layout with in-tree-derivable optics)."""
+    """Band structure matches RRTMG: 14 SW / 16 LW bands with
+    correlated-k g-point quadrature (VERDICT r4 item 4; reference
+    external/radiation/radiation/radsw/radsw_main.py 14 bands,
+    radlw/radlw_main.py 16 bands)."""
     from fv3net_tpu.physics import radgases as rg
 
-    assert rg.NBANDS_SW == 12
+    assert rg.NBANDS_SW == 14  # RRTMG_SW band count (jpb16-29)
+    assert rg.NBANDS_LW == 16  # RRTMG_LW band count
     np.testing.assert_allclose(rg.SW_BAND_FRAC.sum(), 1.0, atol=1e-6)
     assert (rg.SW_BAND_FRAC > 0).all()
     # Rayleigh ~ lambda^-4: strictly decreasing across the band ladder
     assert (np.diff(rg.SW_TAU_RAYLEIGH) < 0).all()
     # ozone absorbs only in UV/vis (Hartley/Huggins/Chappuis)
-    assert (rg.SW_K_O3[:4] > 0).all() and (rg.SW_K_O3[4:] == 0).all()
+    assert (rg.SW_K_O3[:5] > 0).all() and (rg.SW_K_O3[5:] == 0).all()
     # Hartley band is the strongest ozone absorber
     assert rg.SW_K_O3[0] == rg.SW_K_O3.max()
-    # water vapor absorbs only in the near-IR, increasing into the IR
+    # water vapor absorbs only in the near-IR, strengthening overall
+    # into the IR (non-monotone within: the 1.38 um band out-absorbs
+    # 1.87 um, as in RRTMG)
     assert (rg.SW_K_H2O[:4] == 0).all()
-    assert (np.diff(rg.SW_K_H2O[4:]) > 0).all()
-    # CO2 only in the far near-IR bands
+    assert (rg.SW_K_H2O[5:] > 0).all()
+    assert rg.SW_K_H2O[-1] == rg.SW_K_H2O.max()
+    assert rg.SW_K_H2O[5] < rg.SW_K_H2O[7]
+    # CO2 only in the near-IR bands
     assert (rg.SW_K_CO2[:7] == 0).all() and rg.SW_K_CO2[-1] > 0
-    # band ranges tile the spectrum in order
-    assert (np.diff(rg.SW_BAND_RANGE_UM[:, 0]) > 0).all()
+    # band ranges tile the spectrum in order (wrap band 820-2600
+    # overlaps band 13's tail exactly as in RRTMG: check 0..12 tile)
+    assert (np.diff(rg.SW_BAND_RANGE_UM[:-1, 0]) > 0).all()
     np.testing.assert_allclose(
-        rg.SW_BAND_RANGE_UM[:-1, 1], rg.SW_BAND_RANGE_UM[1:, 0]
+        rg.SW_BAND_RANGE_UM[:-2, 1], rg.SW_BAND_RANGE_UM[1:-1, 0]
     )
+    # LW bands tile 10..3250 cm^-1 in order
+    np.testing.assert_allclose(
+        rg.LW_BAND_LIMITS[:-1, 1], rg.LW_BAND_LIMITS[1:, 0]
+    )
+    # g-point quadratures: normalized weights, band-mean-preserving
+    for w, m in (
+        (rg.SW_GPT_W, rg.SW_GPT_MULT),
+        (rg.LW_GPT_W, rg.LW_GPT_MULT),
+    ):
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)
+        np.testing.assert_allclose((w * m).sum(), 1.0, atol=1e-2)
+        assert (np.diff(m) > 0).all()  # weak -> strong lines
+
+
+def test_gpoint_quadrature_changes_heating_rates():
+    """The correlated-k quadrature must do real work: collapsing to a
+    single g-point (mult=1) measurably changes heating rates and
+    fluxes (the RRTMG curve-of-growth effect a 1-point band model
+    cannot represent)."""
+    import jax.numpy as jnp
+
+    from fv3net_tpu.physics import radgases as rg
+    from fv3net_tpu.physics.radlw import RadLWClass
+    from fv3net_tpu.physics.radsw import RadSWClass
+
+    nz, ncol = 30, 2
+    p1d = np.linspace(2e3, 1.013e5, nz)
+    p = jnp.asarray(np.broadcast_to(p1d[:, None], (nz, ncol)))
+    delp = jnp.asarray(
+        np.broadcast_to(np.gradient(p1d)[:, None], (nz, ncol))
+    )
+    sphum = 0.016 * (p / 1.013e5) ** 2.5
+    t = jnp.asarray(
+        np.broadcast_to(
+            (300.0 - 60.0 * (1 - p1d / 1.013e5))[:, None], (nz, ncol)
+        )
+    )
+    o3 = rg.default_o3_profile(p)
+    zero = jnp.zeros_like(p)
+    mu0 = jnp.full((ncol,), 0.7)
+    alb = jnp.full((ncol,), 0.15)
+    tsfc = jnp.full((ncol,), 301.0)
+
+    multi = {
+        "sw": RadSWClass()(
+            mu0, p, delp, sphum, o3, zero, zero, zero, alb,
+            aod550=0.0,
+        ),
+        "lw": RadLWClass()(
+            p, delp, t, sphum, o3, zero, zero, zero, tsfc
+        ),
+    }
+    try:
+        rg.SW_GPT_MULT, rg.SW_GPT_W = (
+            np.array([1.0]), np.array([1.0]),
+        )
+        rg.LW_GPT_MULT, rg.LW_GPT_W = (
+            np.array([1.0]), np.array([1.0]),
+        )
+        single = {
+            "sw": RadSWClass()(
+                mu0, p, delp, sphum, o3, zero, zero, zero, alb,
+                aod550=0.0,
+            ),
+            "lw": RadLWClass()(
+                p, delp, t, sphum, o3, zero, zero, zero, tsfc
+            ),
+        }
+    finally:
+        rg.SW_GPT_MULT = np.array([0.08, 0.40, 1.60, 6.00])
+        rg.SW_GPT_W = np.array([0.35, 0.35, 0.22, 0.08])
+        rg.LW_GPT_MULT = np.array([0.08, 0.40, 1.60, 6.00])
+        rg.LW_GPT_W = np.array([0.35, 0.35, 0.22, 0.08])
+
+    for kind in ("sw", "lw"):
+        dh = np.abs(
+            np.asarray(multi[kind]["heating_rate"])
+            - np.asarray(single[kind]["heating_rate"])
+        ).max() * 86400.0  # K/day
+        assert dh > 0.05, f"{kind} quadrature is a no-op ({dh})"
+    # and the quadrature form transmits MORE to the surface than the
+    # band-mean exponential (Jensen: <exp(-k u)> >= exp(-<k> u))
+    assert float(
+        np.asarray(multi["sw"]["sfc_dn"]).mean()
+    ) > float(np.asarray(single["sw"]["sfc_dn"]).mean())
 
 
 def test_sw_clear_sky_absorption_fraction_per_band():

@@ -132,6 +132,97 @@ def main(ns):
         t = timeit(dd, u, v)
         print(f"div_damp (vjp)                {t:8.2f} ms", flush=True)
 
+        from fv3net_tpu.dycore.sw import (
+            CORNER_DAMP_COEF,
+            VORT_DAMP_COEF,
+            corner_div_damp,
+            vort_damp,
+        )
+
+        vd = jax.jit(lambda a, b: vort_damp(a, b, m, VORT_DAMP_COEF))
+        t = timeit(vd, u, v)
+        print(f"vort_damp                     {t:8.2f} ms", flush=True)
+        cd = jax.jit(
+            lambda a, b: corner_div_damp(a, b, m, CORNER_DAMP_COEF)
+        )
+        t = timeit(cd, u, v)
+        print(f"corner_div_damp               {t:8.2f} ms", flush=True)
+
+        def trio(a, b):
+            du, dv = div_damp(a, b, m, 0.12)
+            du2, dv2 = vort_damp(a, b, m, VORT_DAMP_COEF)
+            du3, dv3 = corner_div_damp(a, b, m, CORNER_DAMP_COEF)
+            return du + du2 + du3, dv + dv2 + dv3
+
+        t = timeit(jax.jit(trio), u, v)
+        print(f"damper trio (one jit)         {t:8.2f} ms", flush=True)
+
+        # full remap_step (7 field remaps incl. staggered winds)
+        from fv3net_tpu.dycore.hydro import (
+            DycoreState,
+            add_nonhydrostatic_fields,
+            hybrid_coefficients,
+            remap_step,
+        )
+
+        ak, bk = hybrid_coefficients(nz, 300.0)
+        with jax.default_device(cpu):
+            dp0 = jnp.broadcast_to(
+                (ak[1:] - ak[:-1] + (bk[1:] - bk[:-1]) * 1e5)[
+                    None, :, None, None
+                ],
+                (6, nz, n, n),
+            ).astype(jnp.float32)
+            pt0 = jnp.full((6, nz, n, n), 300.0, jnp.float32)
+            st0 = DycoreState(
+                dp0, pt0,
+                jnp.zeros((6, nz, n + 1, n), jnp.float32),
+                jnp.zeros((6, nz, n, n + 1), jnp.float32),
+                jnp.zeros((2, 6, nz, n, n), jnp.float32),
+            )
+            st0 = add_nonhydrostatic_fields(st0, 300.0)
+        st0 = jax.device_put(st0, dev)
+        akd = jax.device_put(ak.astype(jnp.float32), dev)
+        bkd = jax.device_put(bk.astype(jnp.float32), dev)
+        rs = jax.jit(
+            lambda s: remap_step(s, akd, bkd, 300.0, 9, 9, 9, 9)
+        )
+        t = timeit(rs, st0)
+        print(f"remap_step (all fields)       {t:8.2f} ms", flush=True)
+
+        # sim1: jnp vs pallas (in-one-jit each)
+        from fv3net_tpu.dycore.riemann import (
+            layer_mean_pressure,
+            sim1_solver,
+        )
+        from fv3net_tpu.ops.pallas_sim1 import sim1_solver_pallas
+        from fv3net_tpu.constants import GRAV
+
+        with jax.default_device(cpu):
+            pe0 = 300.0 + jnp.concatenate(
+                [jnp.zeros_like(dp0[:, :1]),
+                 jnp.cumsum(dp0, axis=1)], axis=1
+            )
+            pm0 = layer_mean_pressure(dp0, pe0)
+            ws0 = jnp.zeros((6, n, n), jnp.float32)
+        pe0, pm0, ws0 = (
+            jax.device_put(a, dev) for a in (pe0, pm0, ws0)
+        )
+        dm0 = st0.delp / GRAV
+        s1j = jax.jit(
+            lambda: sim1_solver(
+                150.0, dm0, st0.pt, st0.delz, st0.w, pe0, pm0, ws0
+            )
+        )
+        t = timeit(s1j)
+        print(f"sim1 jnp                      {t:8.2f} ms", flush=True)
+        t = timeit(
+            lambda: sim1_solver_pallas(
+                150.0, dm0, st0.pt, st0.delz, st0.w, pe0, pm0, ws0
+            )
+        )
+        print(f"sim1 pallas                   {t:8.2f} ms", flush=True)
+
         # vertical remap: [nz, 6, n, n] layout as used in remap_step
         with jax.default_device(cpu):
             dp = jnp.asarray(
