@@ -360,10 +360,17 @@ def main():
             t192.start()
 
     # --- rung 2: C192 x 63 -- largest comfortable single-chip config -
-    # dt scales with resolution (CFL): C192 runs 225 s
-    if _remaining() > 20.0:
-        t192.join(timeout=max(0.0, _remaining() - 15.0))
-        if "art" in c192_built and _remaining() > 15.0:
+    # dt scales with resolution (CFL): C192 runs 225 s.  The remote
+    # compile is ~107 s (measured r5): starting it with less than
+    # ~135 s of budget would die MID-COMPILE -- killing the process
+    # then leaves the compile running server-side and congests the
+    # queue for the next bench (r3 lesson) -- so the rung only fires
+    # when it can finish, and otherwise points at the committed
+    # full-ladder artifact.
+    _C192_NEED_S = 135.0
+    if _remaining() > _C192_NEED_S:
+        t192.join(timeout=max(0.0, _remaining() - _C192_NEED_S))
+        if "art" in c192_built and _remaining() > _C192_NEED_S:
             try:
                 run, state, phis = c192_built["art"]
                 r192 = _measure(
@@ -377,9 +384,17 @@ def main():
         elif "err" in c192_built:
             _RESULT["detail"]["c192_error"] = c192_built["err"]
         else:
-            _RESULT["detail"]["c192"] = "skipped (budget)"
+            _RESULT["detail"]["c192"] = (
+                "skipped (compile ~107 s exceeds remaining budget); "
+                "committed steady-state: 1046 ms/step, 79.9M "
+                "updates/s, clean (bench_full_r5.json)"
+            )
     else:
-        _RESULT["detail"]["c192"] = "skipped (budget)"
+        _RESULT["detail"]["c192"] = (
+            "skipped (compile ~107 s exceeds remaining budget); "
+            "committed steady-state: 1046 ms/step, 79.9M updates/s, "
+            "clean (bench_full_r5.json)"
+        )
 
     # --- rung 3: coupled C48 step (dynamics+physics+radiation+ML) ----
     # a ~40 s wrapper compile chain; attempted when budget remains

@@ -434,7 +434,8 @@ def load_run(path: str) -> Dict[str, np.ndarray]:
 
 
 def compute_diagnostics(
-    run, area=None, lat=None, lon=None, verification=None, grid=None
+    run, area=None, lat=None, lon=None, verification=None, grid=None,
+    workers: int = 1,
 ):
     """The `prognostic_run_diags compute` entry (prognostic_run/cli.py:16).
 
@@ -450,7 +451,7 @@ def compute_diagnostics(
         if lon is not None:
             grid["lon"] = lon
     arg = DiagArg(dict(run), dict(verification or {}), dict(grid))
-    diags = DIAGNOSTICS_REGISTRY.compute(arg)
+    diags = DIAGNOSTICS_REGISTRY.compute(arg, workers=workers)
     from .metrics import compute_metrics
 
     metrics = compute_metrics(diags, arg)

@@ -609,6 +609,14 @@ class _Model:
             )
         else:
             q_new = jnp.stack([qv2, qc2])
+            if self.state.q.shape[0] > 2:
+                # e.g. emulation hooks active (Zhao-Carr path) in a
+                # 6-tracer configuration: carry the remaining
+                # hydrometeors through unchanged rather than dropping
+                # them from the prognostic state
+                q_new = jnp.concatenate(
+                    [q_new, self.state.q[2:]], axis=0
+                )
         self.state = self.state._replace(
             q=q_new.astype(dtype),
             u=out["u_dgrid"].astype(dtype),

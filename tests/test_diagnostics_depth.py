@@ -230,3 +230,28 @@ def test_cli_compute_report_movies(tmp_path):
         os.path.join(out, "movies", "surface_pressure")
     )
     assert "frame_0000.png" in frames and len(frames) >= 3
+
+
+def test_registry_parallel_fanout_matches_serial():
+    """workers>1 fans the registry out over a pool (the reference's
+    joblib batch tier, _shared/registry.py:27) with identical results
+    and failure semantics."""
+    from fv3net_tpu.diagnostics.registry import Registry
+
+    reg = Registry()
+
+    @reg.register("a")
+    def _a(x):
+        return {"v": x * 2}
+
+    @reg.register("b")
+    def _b(x):
+        return x + 1
+
+    @reg.register("boom")
+    def _c(x):
+        raise RuntimeError("intentional")
+
+    serial = reg.compute(3)
+    par = reg.compute(3, workers=4)
+    assert serial == par == {"v_a": 6, "b": 4}
