@@ -361,15 +361,29 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     # (forward-backward coupling), all on fill='y' padded fields
     dp_p = halo_exchange(delp_new, h, fill="y")
     pt_p = halo_exchange(pt_new, h, fill="y")
-    pe_p = ptop + jnp.concatenate(
-        [jnp.zeros_like(dp_p[:, :1]), jnp.cumsum(dp_p, axis=1)], axis=1
-    )
-    pik = (pe_p / REFERENCE_SURFACE_PRESSURE) ** KAPPA  # Exner at ifaces
-    # layer-mean Exner (hydrostatically consistent):
-    # pi_mean = (pik+ * pe+ - pik- * pe-) / ((1+kappa) * delp)
-    pi_lay = (
-        pik[:, 1:] * pe_p[:, 1:] - pik[:, :-1] * pe_p[:, :-1]
-    ) / ((1.0 + KAPPA) * dp_p)
+    from ..ops.advection import _pallas_enabled
+
+    pm_p = None
+    if nonhydro and _pallas_enabled() and dp_p.shape[-1] >= 128:
+        # fused columnar chain (cumsum + Exner pow + log-mean
+        # pressure in VMEM, ops/pallas_column.py); pik itself is only
+        # consumed by the hydrostatic branch, so the kernel skips it
+        from ..ops.pallas_column import column_pressures_pallas
+
+        pe_p, pi_lay, pm_p = column_pressures_pallas(dp_p, ptop)
+    else:
+        pe_p = ptop + jnp.concatenate(
+            [jnp.zeros_like(dp_p[:, :1]),
+             jnp.cumsum(dp_p, axis=1)], axis=1
+        )
+        pik = (
+            pe_p / REFERENCE_SURFACE_PRESSURE
+        ) ** KAPPA  # Exner at ifaces
+        # layer-mean Exner (hydrostatically consistent):
+        # pi_mean = (pik+ * pe+ - pik- * pe-) / ((1+kappa) * delp)
+        pi_lay = (
+            pik[:, 1:] * pe_p[:, 1:] - pik[:, :-1] * pe_p[:, :-1]
+        ) / ((1.0 + KAPPA) * dp_p)
     # geopotential: integrate cp*theta*d(pi) upward from the surface
     phis_p = (
         halo_exchange(phis, h, fill="y")[:, None]
@@ -381,7 +395,11 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
         # state (Riem_Solver3 position in fv_dynamics), then the TRUE
         # geopotential from the solved layer heights
         pe_int = pe_p[:, :, h : h + n, h : h + n]
-        pm_int = layer_mean_pressure(delp_new, pe_int)
+        pm_int = (
+            pm_p[:, :, h : h + n, h : h + n]
+            if pm_p is not None
+            else layer_mean_pressure(delp_new, pe_int)
+        )
         dm_int = delp_new / GRAV
         if phis is not None:
             # terrain BC: ws = V . grad(z_s) from bottom-level C-winds

@@ -243,3 +243,42 @@ def test_ppm_remap_pallas_conservative():
         axis=1,
     )
     np.testing.assert_allclose(m2, m1, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# columnar pressure/Exner chain (ops/pallas_column.py)
+# ---------------------------------------------------------------------------
+
+
+def test_column_pressures_pallas_matches_jnp():
+    from fv3net_tpu.constants import (
+        KAPPA,
+        REFERENCE_SURFACE_PRESSURE as P00,
+    )
+    from fv3net_tpu.dycore.riemann import layer_mean_pressure
+    from fv3net_tpu.ops.pallas_column import column_pressures_pallas
+
+    rng = np.random.RandomState(0)
+    F, nz, Y, X = 6, 13, 8, 16
+    ptop = 300.0
+    dp = jnp.asarray(
+        (900.0 + 200.0 * rng.rand(F, nz, Y, X)).astype(np.float32)
+    )
+    pe, pi, pm = column_pressures_pallas(dp, ptop, interpret=True)
+    pe_ref = ptop + jnp.concatenate(
+        [jnp.zeros_like(dp[:, :1]), jnp.cumsum(dp, axis=1)], axis=1
+    )
+    pik = (pe_ref / P00) ** KAPPA
+    pi_ref = (
+        pik[:, 1:] * pe_ref[:, 1:] - pik[:, :-1] * pe_ref[:, :-1]
+    ) / ((1.0 + KAPPA) * dp)
+    pm_ref = layer_mean_pressure(dp, pe_ref)
+    np.testing.assert_allclose(
+        np.asarray(pe), np.asarray(pe_ref), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(pi), np.asarray(pi_ref), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pm), np.asarray(pm_ref), rtol=1e-5
+    )

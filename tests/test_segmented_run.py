@@ -61,3 +61,35 @@ def test_create_append_resume(tmp_path):
     wvp = store.read("water_vapor_path")
     assert wvp.shape[0] == 2
     assert np.isfinite(wvp).all()
+
+
+@pytest.mark.slow
+def test_runfv3_cli_run_native_and_parse_logs(tmp_path, capsys):
+    """The `runfv3` CLI surface (segmented_run/cli.py:31-80 role):
+    run-native sets up + runs a segment; parse-logs turns the
+    segment's scalars.jsonl into JSON."""
+    import json
+    import yaml
+
+    from fv3net_tpu.runtime.cli import main
+
+    cfg = {
+        "namelist": {
+            "npx": 7, "npz": 6, "dt_atmos": 600.0, "n_split": 4,
+            "segment_steps": 1, "dtype": "float64",
+        },
+        "diagnostics": [],
+    }
+    cfg_path = tmp_path / "fv3config.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    rundir = str(tmp_path / "native")
+    assert main(["run-native", str(cfg_path), rundir]) == 0
+    seg = os.path.join(rundir, "artifacts", "0000")
+    assert os.path.isdir(os.path.join(seg, "RESTART"))
+    scalars = os.path.join(seg, "scalars.jsonl")
+    assert os.path.exists(scalars)
+    capsys.readouterr()
+    assert main(["parse-logs", scalars]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert any(len(v) >= 1 for v in doc.values())
