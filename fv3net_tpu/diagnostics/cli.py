@@ -217,12 +217,15 @@ def log_viewer_cmd(url: str, output: str) -> str:
     from ..runtime.timing import read_scalars
     from .report import HTMLReport, write_report
 
-    seg_root = os.path.join(url, "segments")
-    segs = (
-        sorted(os.listdir(seg_root))
-        if os.path.isdir(seg_root)
-        else [""]
-    )
+    # this framework's segmented runs write under url/artifacts/<seg>
+    # (runtime/segmented_run.py); accept a bare 'segments/' layout too
+    seg_root = None
+    for candidate in ("artifacts", "segments"):
+        root = os.path.join(url, candidate)
+        if os.path.isdir(root):
+            seg_root = root
+            break
+    segs = sorted(os.listdir(seg_root)) if seg_root else [""]
     rep = HTMLReport("run log viewer", {"run": url})
     series: Dict[str, list] = {}
     timing_rows: Dict[str, str] = {}

@@ -594,14 +594,26 @@ def remap_step(state: DycoreState, ak, bk, ptop, kord_tm=9, kord_mt=9,
     u_new = rmp(u, stag_u(pe1), stag_u(pe2), -1, kord_mt)
     v_new = rmp(v, stag_v(pe1), stag_v(pe2), -1, kord_mt)
     if q is not None:
-        # static unroll over tracers (the pallas_call instance is
-        # shape-cached, so one compiled kernel serves every tracer)
-        q_new = jnp.stack(
-            [
-                rmp(q[i], pe1, pe2, 0, kord_tr)
-                for i in range(q.shape[0])
-            ]
-        )
+        from ..ops.pallas_remap import remap_kernel_enabled
+
+        if remap_kernel_enabled():
+            # static unroll over tracers: vmap-of-pallas_call is not
+            # supported layout-preservingly, and the pallas_call
+            # instance is shape-cached so one compiled kernel serves
+            # every tracer
+            q_new = jnp.stack(
+                [
+                    rmp(q[i], pe1, pe2, 0, kord_tr)
+                    for i in range(q.shape[0])
+                ]
+            )
+        else:
+            # jnp path: one vmapped remap instance (unrolling would
+            # multiply the traced graph by the tracer count, inflating
+            # the remote compile)
+            q_new = jax.vmap(
+                lambda qq: rmp(qq, pe1, pe2, 0, kord_tr)
+            )(q)
     else:
         q_new = None
     if w is not None:

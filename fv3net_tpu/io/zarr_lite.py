@@ -231,11 +231,21 @@ def rechunk_store(
             min(int(c), int(s))
             for c, s in zip(new_chunks, data.shape)
         ]
-        dt = data.dtype
-        if cast is not None and np.issubdtype(dt, np.floating):
-            dt = np.dtype(cast)
         attrs = src.attrs(name)
         dims = attrs.pop("_ARRAY_DIMENSIONS", None)
+        # dimension COORDINATES keep their dtype: float64 epoch
+        # timestamps quantize to ~128 s at f32 (the reference encodes
+        # data variables, not coords)
+        is_coord = (
+            name == "time" or (dims is not None and dims == [name])
+        )
+        dt = data.dtype
+        if (
+            cast is not None
+            and not is_coord
+            and np.issubdtype(dt, np.floating)
+        ):
+            dt = np.dtype(cast)
         dst.create_array(
             name, data.shape, new_chunks, dt, dims=dims,
             attrs=attrs,

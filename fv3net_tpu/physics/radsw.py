@@ -217,8 +217,9 @@ class RadSWClass:
 
         def solve_band(args):
             rd, td, rr, tdf, tt0, tb, abr, abf = args
+            # adding_method signature: (..., alb_dir, alb_dif, ...)
             return adding_method(
-                rd, td, rr, tdf, tt0, abf, abr, mu0c, tb
+                rd, td, rr, tdf, tt0, abr, abf, mu0c, tb
             )
 
         def per_gpoint(mult):

@@ -186,25 +186,58 @@ def build_compiled_step(mdl, ml_model=None, split: bool = False):
         )
         total_precip = total_precip + precip / 1000.0  # kg/m2 -> m
         precip_rate = precip / dt
+        q_new = jnp.stack([qv, qc] + extra).astype(dtype)
+        if st.q.shape[0] > q_new.shape[0]:
+            # tracers beyond the suite's prognostic set (e.g. a
+            # 6-tracer state under a 2-condensate scheme) pass through
+            # unchanged -- mirror of the eager wrapper path
+            q_new = jnp.concatenate(
+                [q_new, st.q[q_new.shape[0] :]], axis=0
+            )
         st = st._replace(
             pt=pt_from_temperature(st.delp, temp, qv, ptop).astype(
                 dtype
             ),
-            q=jnp.stack([qv, qc] + extra).astype(dtype),
+            q=q_new,
         )
         return st, total_precip, precip_rate, diags
 
     # --- stage 3: ML postphysics (monitored, mass-conserving) ----------
+    def _ml_inputs(st, temp, qv):
+        """State arrays for every model input name (the eager path
+        resolves these through DerivedModelState; the compiled trace
+        resolves them here).  Unsupported names fail AT BUILD TIME
+        with the name spelled out."""
+        available = {
+            names.TEMP: lambda: temp,
+            names.SPHUM: lambda: qv,
+            names.CLOUD: lambda: st.q[1],
+            names.DELP: lambda: st.delp,
+            names.X_WIND: lambda: st.u,
+            names.Y_WIND: lambda: st.v,
+        }
+        if st.w is not None:
+            available["vertical_wind"] = lambda: st.w
+        out = {}
+        for name in ml_model.input_variables:
+            if name == "time":
+                continue
+            if name not in available:
+                raise NotImplementedError(
+                    f"compiled TimeLoop cannot supply ML input "
+                    f"{name!r}; use the eager TimeLoop for models "
+                    f"with derived inputs"
+                )
+            out[name] = available[name]()
+        return out
+
     def stage_postphysics(st):
         diags = {}
         if ml_fn is None:
             return st, diags
         temp = temperature(st)
         qv, qc = st.q[0], st.q[1]
-        preds = ml_fn(
-            ml_params,
-            {names.TEMP: temp, names.SPHUM: qv},
-        )
+        preds = ml_fn(ml_params, _ml_inputs(st, temp, qv))
         tend = {}
         for k, v in preds.items():
             if k not in names.TENDENCY_TO_STATE_NAME:

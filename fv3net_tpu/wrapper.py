@@ -517,9 +517,15 @@ class _Model:
         inline_micro = hooks is None
 
         run_cfg = _dc.replace(cfg, do_microphysics=inline_micro)
+        # prognostic hydrometeors only flow through the INLINE GFDL
+        # scheme; with emulation hooks the microphysics is bypassed
+        # (do_microphysics=False) and gfs_physics_step would never
+        # return the species, so the tracers pass through unchanged
+        # via the q_new concatenation below
         mp_tracers = (
             tuple(self.state.q[2:6])
-            if len(self.tracer_names) >= 6
+            if inline_micro
+            and len(self.tracer_names) >= 6
             and cfg.microphysics_scheme == "gfdl"
             else None
         )

@@ -46,6 +46,27 @@ def test_rechunk_round_trip(tmp_path):
     np.testing.assert_array_equal(dst.read("flag"), b)
 
 
+def test_rechunk_preserves_time_coordinate_dtype(tmp_path):
+    """Dimension coordinates must NOT be f32-encoded: float64 epoch
+    timestamps quantize to ~128 s at f32 (round-5 review finding)."""
+    src = ZarrLiteStore(str(tmp_path / "src.zarr"))
+    t = 1.5e9 + 900.0 * np.arange(5, dtype=np.float64)
+    src.create_array("time", t.shape, (1,), t.dtype, dims=("time",))
+    src.write_full("time", t)
+    d = np.random.RandomState(0).randn(5, 4)
+    src.create_array(
+        "x", d.shape, (1, 4), d.dtype, dims=("time", "col")
+    )
+    src.write_full("x", d)
+    dst = rechunk_store(
+        str(tmp_path / "src.zarr"), str(tmp_path / "dst.zarr"),
+        cast="float32", time_chunk=5,
+    )
+    assert dst.read("time").dtype == np.float64
+    np.testing.assert_array_equal(dst.read("time"), t)
+    assert dst.read("x").dtype == np.float32
+
+
 def test_post_process_segment(tmp_path):
     from fv3net_tpu.runtime.segmented_run import post_process_segment
 

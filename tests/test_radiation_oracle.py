@@ -566,3 +566,34 @@ def test_sw_clear_sky_absorption_fraction_per_band():
     assert (0.2 < absorbed_frac).all() and (
         absorbed_frac < 0.55
     ).all(), absorbed_frac.mean()
+
+
+def test_spectral_albedo_direct_diffuse_orientation():
+    """Regression for the round-5 review finding: with a transparent
+    atmosphere, a purely DIRECT beam must reflect with the DIRECT
+    albedo (the two components were swapped in the adding call)."""
+    import jax.numpy as jnp
+
+    from fv3net_tpu.physics.radsw import RadSWClass
+
+    nz, ncol = 8, 3
+    p = jnp.broadcast_to(
+        jnp.linspace(2e3, 1e5, nz)[:, None], (nz, ncol)
+    )
+    zero = jnp.zeros_like(p)
+    mu0 = jnp.full((ncol,), 0.9)
+    alb = {
+        "uvvis_dir": jnp.full((ncol,), 0.9),
+        "uvvis_dif": jnp.zeros((ncol,)),
+        "nir_dir": jnp.full((ncol,), 0.9),
+        "nir_dif": jnp.zeros((ncol,)),
+    }
+    # no gas, no Rayleigh-scale delp, no clouds, no aerosol: the beam
+    # arrives at the surface direct
+    sw = RadSWClass()(
+        mu0, p, zero + 1e-3, zero, zero, zero, zero, zero, alb,
+        aod550=0.0,
+    )
+    up = np.asarray(sw["flux_up"][-1])
+    dn = np.asarray(sw["sfc_dn"])
+    np.testing.assert_allclose(up, 0.9 * dn, rtol=1e-3)
