@@ -40,14 +40,17 @@ from ..grid.halo import (
     halo_exchange_dgrid,
 )
 from ..constants import GRAV
-from ..ops.advection import fv_tp_2d
+from ..ops.advection import fv_tp_2d, ppm_flux
 from ..ops.remap import ppm_remap
 from .riemann import layer_mean_pressure, sim1_solve
 from ..grid.halo import average_dgrid_boundary
 from .sw import (
     CORNER_DAMP_COEF,
     combined_wind_damping,
+    _c_half_winds_common,
+    _finish_c_half,
     _masked_vertex_set,
+    padded_cgrid_winds,
     vertex_masks,
     FILTER_COEF,
     VORT_DAMP_COEF,
@@ -186,21 +189,122 @@ def _vertex_cells(phi, h, n):
     ]
 
 
+def _c_sw_half_3d(state: DycoreState, m: SWMetrics, dt2: float,
+                  ptop: float, phis, up, vp, dpx, dpy, ptx, pty):
+    """FV3 ``c_sw`` role, 3D form: a cheap C-grid half step.
+
+    Advances delp/pt by dt2 with 1st-order upwind fluxes and the C
+    winds by dt2 with a forward-backward momentum update (absolute
+    vorticity x tangential wind + cell-KE, Exner-form PGF and
+    hydrostatic geopotential gradients from the half-updated mass
+    field), producing time-centered ADVECTIVE winds for the full D
+    stage.  Only the advecting C winds are time-centered -- the D-grid
+    prognostics update once from time-n fields, exactly FV3's c_sw/d_sw
+    split -- replacing the full-cost provisional D half-step the legacy
+    midpoint scheme paid (measured 303 ms of the 1046 ms C192 step,
+    tools/PROFILE_C192_r5.md).  The half-stage PGF is hydrostatic even
+    in nonhydrostatic runs (Riem_Solver_C's role is folded into the
+    full stage's semi-implicit solve on the transported state).
+    """
+    uc, vc, vc_on_x, uc_on_y = padded_cgrid_winds(
+        state.u, state.v, m, up, vp
+    )
+    bc, ke, rarea_p, zf_u, zf_v, vbar_u, ubar_v = _c_half_winds_common(
+        uc, vc, vc_on_x, uc_on_y, up, vp, m
+    )
+    # upwind half-step mass/heat transport on the padded lattice
+    # (interior + edge bands valid; corner blocks never consumed)
+    fx = ppm_flux(dpx, uc, -1, 1) * (uc * dt2 * bc(m.dy_fs))
+    fy = ppm_flux(dpy, vc, -2, 1) * (vc * dt2 * bc(m.dx_fs))
+    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
+    delpc = dpx + div * rarea_p
+    fxt = ppm_flux(ptx, uc, -1, 1) * fx
+    fyt = ppm_flux(pty, vc, -2, 1) * fy
+    divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
+    ptc = (ptx * dpx + divt * rarea_p) / delpc
+
+    # Exner + hydrostatic geopotential of the half-updated columns
+    from ..ops.advection import _pallas_enabled
+
+    if _pallas_enabled() and delpc.shape[-1] >= 128:
+        from ..ops.pallas_column import column_pressures_pallas
+
+        pe, pi_lay, _ = column_pressures_pallas(delpc, ptop)
+        pik_top = (
+            jnp.maximum(pe, 1e-30) / REFERENCE_SURFACE_PRESSURE
+        ) ** KAPPA
+        dphi = CP_AIR * ptc * (pik_top[:, 1:] - pik_top[:, :-1])
+    else:
+        pe = ptop + jnp.concatenate(
+            [jnp.zeros_like(delpc[:, :1]),
+             jnp.cumsum(delpc, axis=1)], axis=1
+        )
+        pik = (pe / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+        pi_lay = (
+            pik[:, 1:] * pe[:, 1:] - pik[:, :-1] * pe[:, :-1]
+        ) / ((1.0 + KAPPA) * delpc)
+        dphi = CP_AIR * ptc * (pik[:, 1:] - pik[:, :-1])
+    phi_if_rev = jnp.concatenate(
+        [jnp.zeros_like(delpc[:, :1]),
+         jnp.cumsum(dphi[:, ::-1], axis=1)], axis=1
+    )
+    phi_if = phi_if_rev[:, ::-1]
+    if phis is not None:
+        phi_if = phi_if + halo_exchange(phis, m.halo, fill="x")[:, None]
+    phi_lay = 0.5 * (phi_if[:, 1:] + phi_if[:, :-1])
+    kphi = ke + phi_lay
+
+    ptf_u = 0.5 * (ptc + _shx(ptc, -1))
+    ptf_v = 0.5 * (ptc + _shy(ptc, -1))
+    duc = dt2 * (
+        zf_u * vbar_u
+        - (
+            (kphi - _shx(kphi, -1))
+            + CP_AIR * ptf_u * (pi_lay - _shx(pi_lay, -1))
+        ) / bc(m.dxc_f)
+    )
+    dvc = dt2 * (
+        -zf_v * ubar_v
+        - (
+            (kphi - _shy(kphi, -1))
+            + CP_AIR * ptf_v * (pi_lay - _shy(pi_lay, -1))
+        ) / bc(m.dyc_f)
+    )
+    return _finish_c_half(uc, vc, duc, dvc, m)
+
+
 def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
                 hord: int, d2_damp: float, phis,
                 mfx_acc, mfy_acc, cx_acc, cy_acc,
-                midpoint: bool = True):
+                midpoint: bool = True, c_half: bool = True):
     """One acoustic-style substep on the Lagrangian layers.
 
-    midpoint=True: two-stage time-centered substep -- a provisional
-    half-step with 1st-order upwind reconstruction supplies
-    time-centered winds/fluxes for the full update (the role of FV3's
-    C-grid half-step ``c_sw``); the plain forward-backward form is
-    weakly unstable for rotational modes (see sw.shallow_water_step).
+    midpoint=True: time-centered advective winds.  c_half=True (the
+    default) uses the cheap C-grid half-stage (``_c_sw_half_3d``,
+    FV3's c_sw role): only the advecting C winds are half-stepped and
+    the D stage runs once from the time-n state.  c_half=False keeps
+    the legacy two-stage midpoint scheme (a full provisional D-grid
+    half step with 1st-order reconstruction); midpoint=False is plain
+    forward-backward (weakly unstable for rotational modes, see
+    sw.shallow_water_step).
 
     Returns (new_state_without_tracers, accumulated fluxes).
     """
-    if midpoint:
+    if midpoint and c_half:
+        h = m.halo
+        up, vp = halo_exchange_dgrid(state.u, state.v, h)
+        dpx = halo_exchange(state.delp, h, fill="x")
+        dpy = halo_exchange(state.delp, h, fill="y")
+        ptx = halo_exchange(state.pt, h, fill="x")
+        pty = halo_exchange(state.pt, h, fill="y")
+        adv = _c_sw_half_3d(
+            state, m, 0.5 * dt, ptop, phis, up, vp, dpx, dpy, ptx, pty
+        )
+        new, (fx, fy, crx, cry) = _substep_core(
+            state, state, m, dt, ptop, hord, d2_damp, phis,
+            exch=(up, vp, dpx, dpy, ptx, pty), adv=adv,
+        )
+    elif midpoint:
         # nondimensional damping applied once per substep (stage 2)
         half, _ = _substep_core(state, state, m, 0.5 * dt, ptop, 1,
                                 0.0, phis)
@@ -218,9 +322,16 @@ def dyn_substep(state: DycoreState, m: SWMetrics, dt: float, ptop: float,
 
 def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
                   dt: float, ptop: float, hord: int, d2_damp: float,
-                  phis):
+                  phis, exch=None, adv=None):
     """Flux-form update of `base` with fluxes/gradients evaluated on
-    `ev` (midpoint stage form; ev is base for forward-backward).
+    `ev` (midpoint stage form; ev is base for forward-backward; under
+    the c_sw scheme ev IS base and `adv` carries the time-centered
+    advective C winds from the half-stage).
+
+    exch: optional precomputed (up, vp, dpx, dpy, ptx, pty) halo
+    exchanges of ev's fields (shared with the C half-stage).  adv:
+    optional (uc, vc) padded advective winds; when given the internal
+    C-wind derivation from ev's D winds is skipped.
 
     Hydrostatic when w is None; otherwise nonhydrostatic: w is
     transported mass-weighted and delz volume-weighted alongside the
@@ -236,21 +347,27 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     delp, pt, u, v = ev.delp, ev.pt, ev.u, ev.v
     nonhydro = ev.w is not None
 
-    up, vp = halo_exchange_dgrid(u, v, h)
-    dpx = halo_exchange(delp, h, fill="x")
-    dpy = halo_exchange(delp, h, fill="y")
-    ptx = halo_exchange(pt, h, fill="x")
-    pty = halo_exchange(pt, h, fill="y")
+    if exch is not None:
+        up, vp, dpx, dpy, ptx, pty = exch
+    else:
+        up, vp = halo_exchange_dgrid(u, v, h)
+        dpx = halo_exchange(delp, h, fill="x")
+        dpy = halo_exchange(delp, h, fill="y")
+        ptx = halo_exchange(pt, h, fill="x")
+        pty = halo_exchange(pt, h, fill="y")
 
-    # C-face contravariant winds, canonical (see sw.c_grid_winds)
-    uc_A, vc_A = c_grid_winds(up, vp, m)
-    uc_int = uc_A[:, :, h : h + n, h : h + n + 1]
-    vc_int = vc_A[:, :, h : h + n + 1, h : h + n]
-    uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
-    ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
-    _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
-    uc = ucx_p[:, :, :, :N]
-    vc = vcy_p[:, :, :N, :]
+    if adv is not None:
+        uc, vc = adv
+    else:
+        # C-face contravariant winds, canonical (see sw.c_grid_winds)
+        uc_A, vc_A = c_grid_winds(up, vp, m)
+        uc_int = uc_A[:, :, h : h + n, h : h + n + 1]
+        vc_int = vc_A[:, :, h : h + n + 1, h : h + n]
+        uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
+        ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
+        _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
+        uc = ucx_p[:, :, :, :N]
+        vc = vcy_p[:, :, :N, :]
 
     crx = uc * dt / m.dxc_f[:, None]
     cry = vc * dt / m.dyc_f[:, None]
@@ -646,6 +763,7 @@ def make_dycore_stepper(
     metric_ke: bool = True,
     corner_damp: bool = True,
     donate: bool = False,
+    c_half: bool = True,
 ):
     """Build a jitted full dycore step (dynamics + vertical remap).
 
@@ -686,6 +804,7 @@ def make_dycore_stepper(
     one_dt = build_one_dt(
         m, ak.astype(dtype), bk.astype(dtype), nz, dt_atmos, k_split,
         n_split, hord, kord, d2_damp, ptop, dtype, remat,
+        c_half=c_half,
     )
 
     # donate=True aliases the input state buffers into the outputs
@@ -712,7 +831,7 @@ def make_dycore_stepper(
 
 
 def build_one_dt(m, ak, bk, nz, dt_atmos, k_split, n_split, hord, kord,
-                 d2_damp, ptop, dtype, remat=False):
+                 d2_damp, ptop, dtype, remat=False, c_half=True):
     """The full-dt step (k_split x [n_split substeps + tracer transport
     + remap]) as a reusable pure function of (state, phis).
 
@@ -749,7 +868,8 @@ def build_one_dt(m, ak, bk, nz, dt_atmos, k_split, n_split, hord, kord,
                 s, a = carry
                 s2, a2 = dyn_substep(
                     s, m, dt_sub, ptop, hord, d2_damp, phis,
-                    *(a if a is not None else (None,) * 4)
+                    *(a if a is not None else (None,) * 4),
+                    c_half=c_half,
                 )
                 return (s2, a2 if a is not None else None), None
 

@@ -54,7 +54,7 @@ from ..grid.halo import (
     halo_exchange_cgrid,
     halo_exchange_dgrid,
 )
-from ..ops.advection import fv_tp_2d
+from ..ops.advection import fv_tp_2d, ppm_flux
 
 
 class ShallowWaterState(NamedTuple):
@@ -898,6 +898,124 @@ def c_grid_winds(up, vp, m):
     return uc_A, vc_A
 
 
+def padded_cgrid_winds(u, v, m: "SWMetrics", up=None, vp=None):
+    """Canonical contravariant C-face winds on the padded lattices.
+
+    The c_grid_winds + boundary-canonicalization + C-grid-exchange
+    chain shared by the D stage and the cheap C half-stage.  Returns
+    (uc, vc, vc_on_x, uc_on_y): uc on the x-face lattice (fill='x'),
+    vc on the y-face lattice (fill='y'), plus each wind's partner from
+    the OTHER fill (consumed by the half-stage tangential averages).
+    """
+    h, n = m.halo, m.n
+    N = n + 2 * h
+    if up is None:
+        up, vp = halo_exchange_dgrid(u, v, h)
+    uc_A, vc_A = c_grid_winds(up, vp, m)
+    uc_int = uc_A[..., h : h + n, h : h + n + 1]
+    vc_int = vc_A[..., h : h + n + 1, h : h + n]
+    uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
+    ucx_p, vcx_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
+    ucy_p, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
+    return (
+        ucx_p[..., :, :N],
+        vcy_p[..., :N, :],
+        vcx_p[..., :N, :],
+        ucy_p[..., :, :N],
+    )
+
+
+def _c_half_winds_common(uc, vc, vc_on_x, uc_on_y, up, vp, m):
+    """Geometry-only pieces of the C half-stage wind update, shared by
+    the 2D and 3D forms: cell-mean winds, cell KE, absolute vorticity
+    (all on the padded lattice), plus the face-tangential winds."""
+    lead = up.ndim - 3
+
+    def bc(a):
+        return a.reshape(a.shape[:1] + (1,) * lead + a.shape[1:])
+
+    # cell-mean contravariant winds and (orthogonal-approx) KE
+    ub = 0.5 * (uc + _shx(uc, 1))
+    vb = 0.5 * (vc + _shy(vc, 1))
+    ke = 0.5 * (ub * ub + vb * vb)
+    # absolute vorticity at cell centers (padded; circulation of the
+    # covariant D winds over the padded metric lengths)
+    udx = up * bc(m.dx_u)
+    vdy = vp * bc(m.dy_v)
+    vort = (
+        udx[..., :-1, :] - udx[..., 1:, :]
+        + vdy[..., :, 1:] - vdy[..., :, :-1]
+    )
+    rarea_p = 1.0 / bc(m.area_px)
+    zeta = vort * rarea_p + bc(m.f_px)
+    # face-mean absolute vorticity and tangential winds
+    zf_u = 0.5 * (zeta + _shx(zeta, -1))
+    zf_v = 0.5 * (zeta + _shy(zeta, -1))
+    vbar_u = 0.25 * (
+        vc_on_x + _shy(vc_on_x, 1)
+        + _shx(vc_on_x, -1) + _shx(_shy(vc_on_x, 1), -1)
+    )
+    ubar_v = 0.25 * (
+        uc_on_y + _shx(uc_on_y, 1)
+        + _shy(uc_on_y, -1) + _shy(_shx(uc_on_y, 1), -1)
+    )
+    return bc, ke, rarea_p, zf_u, zf_v, vbar_u, ubar_v
+
+
+def _finish_c_half(uc, vc, duc, dvc, m: "SWMetrics"):
+    """Crop the updated C winds to own faces, re-canonicalize the
+    shared tile-boundary copies, and redistribute both fills."""
+    h, n = m.halo, m.n
+    N = n + 2 * h
+    uc_i = (uc + duc)[..., h : h + n, h : h + n + 1]
+    vc_i = (vc + dvc)[..., h : h + n + 1, h : h + n]
+    uc_i, vc_i = canonicalize_cgrid_boundary(uc_i, vc_i)
+    ucx_p, _ = halo_exchange_cgrid(uc_i, vc_i, h, fill="x")
+    _, vcy_p = halo_exchange_cgrid(uc_i, vc_i, h, fill="y")
+    return ucx_p[..., :, :N], vcy_p[..., :N, :]
+
+
+def _c_sw_half_2d(state, m: "SWMetrics", dt2: float, hs,
+                  up, vp, dpx, dpy):
+    """FV3 ``c_sw`` role, SW form: a cheap C-grid half step.
+
+    Advances the mass field by dt2 with 1st-order upwind fluxes and the
+    C winds by dt2 with a forward-backward momentum update (absolute
+    vorticity x tangential wind, cell KE + geopotential gradients, all
+    orthogonal-approximation), producing time-centered ADVECTIVE winds
+    for the full D stage.  Only the advecting C winds are
+    time-centered -- the D-grid prognostics are updated once, from
+    time-n fields, exactly FV3's c_sw/d_sw split -- which removes the
+    full-cost provisional D step the round-2..4 midpoint scheme paid
+    (measured 303 ms of the 1046 ms C192 step).
+    """
+    uc, vc, vc_on_x, uc_on_y = padded_cgrid_winds(
+        state.u, state.v, m, up, vp
+    )
+    bc, ke, rarea_p, zf_u, zf_v, vbar_u, ubar_v = _c_half_winds_common(
+        uc, vc, vc_on_x, uc_on_y, up, vp, m
+    )
+    # 1st-order upwind half-step mass update on the padded lattice
+    # (interior + edge bands valid; corner blocks never consumed)
+    fx = ppm_flux(dpx, uc, -1, 1) * (uc * dt2 * bc(m.dy_fs))
+    fy = ppm_flux(dpy, vc, -2, 1) * (vc * dt2 * bc(m.dx_fs))
+    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
+    delpc = dpx + div * rarea_p
+    phi = GRAV * delpc
+    if hs is not None:
+        phi = phi + GRAV * halo_exchange(hs, m.halo, fill="x")
+    kphi = ke + phi
+    duc = dt2 * (
+        zf_u * vbar_u
+        - (kphi - _shx(kphi, -1)) / bc(m.dxc_f)
+    )
+    dvc = dt2 * (
+        -zf_v * ubar_v
+        - (kphi - _shy(kphi, -1)) / bc(m.dyc_f)
+    )
+    return _finish_c_half(uc, vc, duc, dvc, m)
+
+
 def shallow_water_step(
     state: ShallowWaterState,
     m: SWMetrics,
@@ -906,19 +1024,33 @@ def shallow_water_step(
     d2_damp: float = 0.12,
     hs=None,
     midpoint: bool = True,
+    c_half: bool = True,
 ):
     """One SW step.  Returns the new state.
 
-    midpoint=True (default): two-stage time-centered step -- a cheap
-    provisional half-step (1st-order upwind reconstruction) supplies
-    time-centered winds/fluxes for the full step, the role of FV3's
-    C-grid half-step (``c_sw``).  The plain forward-backward scheme is
-    weakly unstable for the rotational modes (linearized growth
-    ~1.0006-1.0036 per substep, measured by the jacfwd eigen-analysis in
-    tests/test_sw.py); time-centering makes it neutral to O(dt^4).
+    midpoint=True (default): time-centered advective winds.  With
+    c_half=True (default) these come from the cheap C-grid half-stage
+    (``_c_sw_half_2d``, FV3's c_sw role): only the advecting C winds
+    are half-stepped, and the D-grid update runs once from the time-n
+    state.  c_half=False keeps the legacy two-stage midpoint scheme (a
+    full provisional half step with 1st-order reconstruction).  The
+    plain forward-backward scheme (midpoint=False) is weakly unstable
+    for the rotational modes (linearized growth ~1.0006-1.0036 per
+    substep, measured by the jacfwd eigen-analysis in tests/test_sw.py);
+    time-centering makes it neutral.
 
     hs: optional terrain height [6, n, n] (adds to the geopotential).
     """
+    if midpoint and c_half:
+        h = m.halo
+        up, vp = halo_exchange_dgrid(state.u, state.v, h)
+        dpx = halo_exchange(state.delp, h, fill="x")
+        dpy = halo_exchange(state.delp, h, fill="y")
+        adv = _c_sw_half_2d(state, m, 0.5 * dt, hs, up, vp, dpx, dpy)
+        return _sw_core(
+            state, state, m, dt, hord, d2_damp, hs,
+            exch=(up, vp, dpx, dpy), adv=adv,
+        )
     if midpoint:
         # damping is nondimensional (not dt-scaled): apply it once per
         # substep (stage 2, on base winds), not once per stage --
@@ -937,33 +1069,47 @@ def _sw_core(
     hord: int,
     d2_damp: float,
     hs=None,
+    exch=None,
+    adv=None,
 ):
     """Flux-form update of `base` with all fluxes/gradients evaluated on
-    `ev` (midpoint stage form; ev is base for forward-backward)."""
+    `ev` (midpoint stage form; ev is base for forward-backward).
+
+    exch: optional precomputed (up, vp, dpx, dpy) halo exchanges of ev
+    (shared with the C half-stage).  adv: optional precomputed
+    time-centered advective C winds (uc, vc) from the half-stage; when
+    given the internal C-wind derivation from ev's D winds is skipped.
+    """
     h, n = m.halo, m.n
     N = n + 2 * h
     delp, u, v = ev
 
     # --- halo exchanges ---------------------------------------------------
-    up, vp = halo_exchange_dgrid(u, v, h)  # [6,N+1,N], [6,N,N+1]
-    dpx = halo_exchange(delp, h, fill="x")
-    dpy = halo_exchange(delp, h, fill="y")
+    if exch is not None:
+        up, vp, dpx, dpy = exch
+    else:
+        up, vp = halo_exchange_dgrid(u, v, h)  # [6,N+1,N], [6,N,N+1]
+        dpx = halo_exchange(delp, h, fill="x")
+        dpy = halo_exchange(delp, h, fill="y")
 
-    # --- C-face normal winds (orthogonal approximation) ------------------
+    # --- C-face normal winds ----------------------------------------------
     # x-face (j, I) between cells (j, I-1), (j, I): average of the four
     # adjacent u edges (rows j, j+1; spans [I-1, I] and [I, I+1]).
     # Computed on each face's own face lattice (touching only edge halos)
     # and then distributed by the C-grid exchange so halo AND cube-corner
     # values are canonical -- the property that makes shared-edge mass
     # fluxes cancel exactly (FV3 likewise halo-updates uc/vc).
-    uc_A, vc_A = c_grid_winds(up, vp, m)
-    uc_int = uc_A[:, h : h + n, h : h + n + 1]  # own x-faces [6,n,n+1]
-    vc_int = vc_A[:, h : h + n + 1, h : h + n]  # own y-faces [6,n+1,n]
-    uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
-    ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
-    _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
-    uc = ucx_p[:, :, :N]  # face lattice embedded: entry [j, i] = face i
-    vc = vcy_p[:, :N, :]
+    if adv is not None:
+        uc, vc = adv
+    else:
+        uc_A, vc_A = c_grid_winds(up, vp, m)
+        uc_int = uc_A[:, h : h + n, h : h + n + 1]  # x-faces [6,n,n+1]
+        vc_int = vc_A[:, h : h + n + 1, h : h + n]  # y-faces [6,n+1,n]
+        uc_int, vc_int = canonicalize_cgrid_boundary(uc_int, vc_int)
+        ucx_p, _ = halo_exchange_cgrid(uc_int, vc_int, h, fill="x")
+        _, vcy_p = halo_exchange_cgrid(uc_int, vc_int, h, fill="y")
+        uc = ucx_p[:, :, :N]  # face lattice embedded: [j, i] = face i
+        vc = vcy_p[:, :N, :]
 
     crx = uc * dt / m.dxc_f
     cry = vc * dt / m.dyc_f
