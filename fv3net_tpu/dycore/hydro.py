@@ -375,66 +375,8 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     yfx = vc * dt * m.dx_fs[:, None]
 
     # mass fluxes and transport of delp
-    fx, fy = fv_tp_2d(
-        dpx, dpy, crx, cry, xfx, yfx, m.area_px[:, None],
-        m.area_py[:, None], hord,
-    )
-    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
-    delp_new = base.delp + div[
-        :, :, h : h + n, h : h + n
-    ] * m.rarea[:, None]
-
-    # potential temperature: mass-weighted transport with the delp
-    # fluxes; the Lin-Rood inner update divides by the transversely
-    # updated AIR MASS (area * delp), which must be dimensionally
-    # consistent with the fluxes.  NOTE: stacking the four transports /
-    # four filters into batched calls (tried r3) is traffic-equal on
-    # paper but SLOWER in practice (C48 68 -> 90 ms/step) and blows the
-    # remote compiler up at C192 -- XLA's 2D stencil fusions break
-    # across the stacked axis.  Keep the per-field calls.
-    fxt, fyt = fv_tp_2d(
-        ptx, pty, crx, cry, fx, fy,
-        m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
-    )
-    divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
-    ptdp = (
-        base.pt * base.delp
-        + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
-    )
-    fc = FILTER_COEF if d2_damp != 0.0 else 0.0
-    delp_new = scalar_filter(delp_new, m, fc)
-    pt_new = scalar_filter(ptdp, m, fc) / delp_new
-
-    if nonhydro:
-        # w: mass-weighted transport (like pt); delz: volume-form
-        # transport with the area fluxes (conserves total volume)
-        wx = halo_exchange(ev.w, h, fill="x")
-        wy = halo_exchange(ev.w, h, fill="y")
-        fxw, fyw = fv_tp_2d(
-            wx, wy, crx, cry, fx, fy,
-            m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
-        )
-        divw = (fxw - _shx(fxw, 1)) + (fyw - _shy(fyw, 1))
-        w_adv = scalar_filter(
-            base.w * base.delp
-            + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None],
-            m, fc,
-        ) / delp_new
-        dzx = halo_exchange(ev.delz, h, fill="x")
-        dzy = halo_exchange(ev.delz, h, fill="y")
-        fxz, fyz = fv_tp_2d(
-            dzx, dzy, crx, cry, xfx, yfx,
-            m.area_px[:, None], m.area_py[:, None], hord,
-        )
-        divz = (fxz - _shx(fxz, 1)) + (fyz - _shy(fyz, 1))
-        dz_adv = scalar_filter(
-            base.delz + divz[
-                :, :, h : h + n, h : h + n
-            ] * m.rarea[:, None],
-            m, fc,
-        )
-
-    # vorticity fluxes (advective) for the wind update
+    # vorticity (computed up front: the fused 5-field transport takes
+    # the absolute-vorticity fields together with the mass fields)
     udx = u * m.dx_u[:, None, h : h + n + 1, h : h + n]
     vdy = v * m.dy_v[:, None, h : h + n, h : h + n + 1]
     vort = (
@@ -444,11 +386,105 @@ def _substep_core(ev: DycoreState, base: DycoreState, m: SWMetrics,
     zeta_int = vort * m.rarea[:, None]
     omega_x = halo_exchange(zeta_int, h, fill="x") + m.f_px[:, None]
     omega_y = halo_exchange(zeta_int, h, fill="y") + m.f_py[:, None]
-    fxo, fyo = fv_tp_2d(
-        omega_x, omega_y, crx, cry,
-        uc * dt * m.sina_u[:, None], vc * dt * m.sina_v[:, None],
-        m.area_px[:, None], m.area_py[:, None], hord,
+    sfx = uc * dt * m.sina_u[:, None]
+    sfy = vc * dt * m.sina_v[:, None]
+
+    from ..ops.advection import _fused5_enabled, _pallas_enabled
+
+    # One fused Pallas program for all five transports (delp, pt, w,
+    # delz, vorticity): the Courant numbers/flux widths are read once
+    # and the delp fluxes feed the mass-weighted transports in VMEM
+    # (ops/pallas_tp.py fv_tp_2d_multi5; equivalence-gated in
+    # tests/test_pallas_kernels.py).  Stacking fields at the XLA level
+    # instead is SLOWER (r3: C48 68 -> 90 ms; r5: stacked filters C192
+    # 820 -> 943 ms) -- XLA's 2D stencil fusions break across a
+    # stacked axis; the fusion must happen inside one kernel.
+    fused5 = (
+        nonhydro
+        and _pallas_enabled()
+        and _fused5_enabled()
+        and dpx.shape[-1] >= 128
     )
+    if fused5:
+        from ..ops.pallas_tp import fv_tp_2d_multi5
+
+        wx = halo_exchange(ev.w, h, fill="x")
+        wy = halo_exchange(ev.w, h, fill="y")
+        dzx = halo_exchange(ev.delz, h, fill="x")
+        dzy = halo_exchange(ev.delz, h, fill="y")
+        (fx, fy, fxt, fyt, fxw, fyw, fxz, fyz, fxo, fyo) = (
+            fv_tp_2d_multi5(
+                dpx, dpy, ptx, pty, wx, wy, dzx, dzy,
+                omega_x, omega_y, crx, cry, xfx, yfx, sfx, sfy,
+                m.area_px, m.area_py, hord,
+            )
+        )
+    else:
+        fx, fy = fv_tp_2d(
+            dpx, dpy, crx, cry, xfx, yfx, m.area_px[:, None],
+            m.area_py[:, None], hord,
+        )
+        # potential temperature: mass-weighted transport with the delp
+        # fluxes; the Lin-Rood inner update divides by the transversely
+        # updated AIR MASS (area * delp), which must be dimensionally
+        # consistent with the fluxes
+        fxt, fyt = fv_tp_2d(
+            ptx, pty, crx, cry, fx, fy,
+            m.area_px[:, None] * dpx, m.area_py[:, None] * dpy, hord,
+        )
+        fxo, fyo = fv_tp_2d(
+            omega_x, omega_y, crx, cry, sfx, sfy,
+            m.area_px[:, None], m.area_py[:, None], hord,
+        )
+        if nonhydro:
+            wx = halo_exchange(ev.w, h, fill="x")
+            wy = halo_exchange(ev.w, h, fill="y")
+            fxw, fyw = fv_tp_2d(
+                wx, wy, crx, cry, fx, fy,
+                m.area_px[:, None] * dpx, m.area_py[:, None] * dpy,
+                hord,
+            )
+            dzx = halo_exchange(ev.delz, h, fill="x")
+            dzy = halo_exchange(ev.delz, h, fill="y")
+            fxz, fyz = fv_tp_2d(
+                dzx, dzy, crx, cry, xfx, yfx,
+                m.area_px[:, None], m.area_py[:, None], hord,
+            )
+
+    div = (fx - _shx(fx, 1)) + (fy - _shy(fy, 1))
+    delp_new = base.delp + div[
+        :, :, h : h + n, h : h + n
+    ] * m.rarea[:, None]
+    divt = (fxt - _shx(fxt, 1)) + (fyt - _shy(fyt, 1))
+    ptdp = (
+        base.pt * base.delp
+        + divt[:, :, h : h + n, h : h + n] * m.rarea[:, None]
+    )
+    # NOTE: batching the four scalar_filter calls into one stacked
+    # call (tried here in r5, like the stacked transports in r3) is
+    # bit-equivalent but SLOWER: C192 820 -> 943 ms/step.  XLA's 2D
+    # stencil fusions break across the stacked axis.  Keep per-field
+    # calls.
+    fc = FILTER_COEF if d2_damp != 0.0 else 0.0
+    delp_new = scalar_filter(delp_new, m, fc)
+    pt_new = scalar_filter(ptdp, m, fc) / delp_new
+
+    if nonhydro:
+        # w: mass-weighted (like pt); delz: volume-form with the area
+        # fluxes (conserves total volume) -- fluxes computed above
+        divw = (fxw - _shx(fxw, 1)) + (fyw - _shy(fyw, 1))
+        w_adv = scalar_filter(
+            base.w * base.delp
+            + divw[:, :, h : h + n, h : h + n] * m.rarea[:, None],
+            m, fc,
+        ) / delp_new
+        divz = (fxz - _shx(fxz, 1)) + (fyz - _shy(fyz, 1))
+        dz_adv = scalar_filter(
+            base.delz + divz[
+                :, :, h : h + n, h : h + n
+            ] * m.rarea[:, None],
+            m, fc,
+        )
 
     # --- kinetic energy + PGF at corners ---------------------------------
     ub = 0.5 * (_shx(up, -1) + up)

@@ -507,13 +507,24 @@ def vertex_masks(m: "SWMetrics"):
 
 
 def _masked_vertex_set(arr, idx, val, mask):
-    """arr.at[..., cj, ci].set(val), gated by an optional traced mask."""
+    """arr with entry [..., cj, ci] replaced by val, gated by an
+    optional traced mask.
+
+    Implemented as a one-hot select instead of ``arr.at[cj, ci].set``:
+    a point scatter is a fusion boundary for XLA (the whole array is
+    materialized through HBM around it), while the select fuses into
+    the surrounding elementwise chains -- the substep runs ~20 such
+    vertex fixes on full 3D corner lattices (profile
+    tools/PROFILE_C192_r5.md, the "long tail").
+    """
     cj, ci = idx
-    if mask is None:
-        return arr.at[..., cj, ci].set(val)
-    return arr.at[..., cj, ci].set(
-        jnp.where(mask, val, arr[..., cj, ci])
+    A, B = arr.shape[-2], arr.shape[-1]
+    oh = jnp.logical_and(
+        jnp.arange(A)[:, None] == cj, jnp.arange(B)[None, :] == ci
     )
+    if mask is not None:
+        oh = jnp.logical_and(oh, mask)
+    return jnp.where(oh, val[..., None, None], arr)
 
 
 def linear_mass_div(u, v, m):
@@ -588,6 +599,31 @@ def scalar_filter(q, m, c):
     if c == 0.0:
         return q
     h, n = m.halo, m.n
+    # Face level on TPU: one fused Pallas pass computes BOTH Laplacian
+    # applications from a single (x-fill, y-fill) exchange pair -- the
+    # halo band of L(q) is computed locally, which the canonical fill
+    # conventions make exactly equal to re-exchanging it (asserted in
+    # tests/test_pallas_kernels.py::test_del4_filter_pallas_matches).
+    # Replaces 4 exchanges + ~12 HBM-resident stencil fusions per call
+    # (this filter runs 4x per substep).
+    from ..ops.advection import _pallas_enabled
+
+    if (
+        m.edge_w is None
+        and _pallas_enabled()
+        and n + 2 * h >= 128
+    ):
+        from ..ops.pallas_filter import del4_filter_pallas
+
+        qx = halo_exchange(q, h, fill="x")
+        qy = halo_exchange(q, h, fill="y")
+        squeeze = q.ndim == 3
+        if squeeze:
+            qx, qy = qx[:, None], qy[:, None]
+        out = del4_filter_pallas(
+            qx, qy, m.area_px, m.area_py, c, h
+        )
+        return out[:, 0] if squeeze else out
     # face weights = mean adjacent cell area, making (1/area) G^T(w G)
     # nondimensional with Laplacian-like eigenvalues <= ~8
     wfx = 0.5 * (
@@ -868,12 +904,23 @@ def c_grid_winds(up, vp, m):
         )
         return a
 
-    def put_col(arr, I, patch, mask):
-        if mask is None:
-            return arr.at[..., rows, I].set(patch)
-        return arr.at[..., rows, I].set(
-            jnp.where(mask, patch, arr[..., rows, I])
+    # boundary patches placed with one-hot selects, not .at[].set:
+    # a column scatter is a fusion boundary (whole-array HBM
+    # materialization); the select fuses into the metric-conversion
+    # chain (see _masked_vertex_set)
+    idxN = jnp.arange(N)
+    row_in = jnp.logical_and(idxN >= h, idxN < h + n)
+
+    def _pad_patch(patch):
+        return jnp.pad(
+            patch, [(0, 0)] * (patch.ndim - 1) + [(h, N - h - n)]
         )
+
+    def put_col(arr, I, patch, mask):
+        oh = jnp.logical_and(row_in[:, None], idxN[None, :] == I)
+        if mask is not None:
+            oh = jnp.logical_and(oh, mask)
+        return jnp.where(oh, _pad_patch(patch)[..., :, None], arr)
 
     uc_A = put_col(uc_A, h, xpatch(h, m.xbw_w), m.edge_w)
     uc_A = put_col(uc_A, h + n, xpatch(h + n, m.xbw_e), m.edge_e)
@@ -887,11 +934,10 @@ def c_grid_winds(up, vp, m):
         )
 
     def put_row(arr, J, patch, mask):
-        if mask is None:
-            return arr.at[..., J, rows].set(patch)
-        return arr.at[..., J, rows].set(
-            jnp.where(mask, patch, arr[..., J, rows])
-        )
+        oh = jnp.logical_and(idxN[:, None] == J, row_in[None, :])
+        if mask is not None:
+            oh = jnp.logical_and(oh, mask)
+        return jnp.where(oh, _pad_patch(patch)[..., None, :], arr)
 
     vc_A = put_row(vc_A, h, ypatch(h, m.ybw_s), m.edge_s)
     vc_A = put_row(vc_A, h + n, ypatch(h + n, m.ybw_n), m.edge_n)

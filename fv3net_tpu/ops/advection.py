@@ -48,6 +48,26 @@ def _pallas_enabled() -> bool:
         return False
 
 
+# Separate switch for the fused 5-field substep transport
+# (pallas_tp.fv_tp_2d_multi5).  OFF by default: on the real chip it is
+# bit-identical to the five per-field kernels and neither faster nor
+# slower (C192 820.3 vs 820.2 ms/step) but costs +45 s of Mosaic
+# compile -- a bad trade against the bench's remote-compile budget
+# (same verdict as the flag-gated remap kernel).
+_USE_FUSED5 = False
+
+
+def set_fused_transport(flag):
+    """Enable (True) / disable (False) the fused 5-field transport
+    kernel dispatch in the dycore substep."""
+    global _USE_FUSED5
+    _USE_FUSED5 = bool(flag)
+
+
+def _fused5_enabled() -> bool:
+    return _USE_FUSED5
+
+
 def _ppm_edges(q, axis: int, hord: int):
     """Left/right edge values and curvature per cell along `axis`.
 

@@ -148,6 +148,116 @@ def _pick_zb(nz: int, n_lane: int, dtype_bytes: int = 4) -> int:
     return int(min(nz, zb))
 
 
+def _tp2d_multi_kernel(
+    dpx_ref, dpy_ref, ptx_ref, pty_ref, wx_ref, wy_ref, dzx_ref,
+    dzy_ref, ox_ref, oy_ref, crx_ref, cry_ref, xfx_ref, yfx_ref,
+    sfx_ref, sfy_ref, apx_ref, apy_ref,
+    fxd_ref, fyd_ref, fxt_ref, fyt_ref, fxw_ref, fyw_ref, fxz_ref,
+    fyz_ref, fxo_ref, fyo_ref, *, hord: int,
+):
+    """All five substep transports of one z-block in VMEM.
+
+    The five fv_tp_2d calls of the D stage (delp, pt, w, delz with the
+    accumulated-mass or area fluxes, and absolute vorticity with the
+    displacement fluxes) share the Courant numbers and flux widths;
+    run separately each re-reads them from HBM and the mass-weighted
+    ones additionally materialize area*delp and re-read the delp
+    fluxes.  Here the delp fluxes feed the pt/w transports directly in
+    VMEM and the shared operands are read once.  (Stacking the fields
+    along a z-like axis at the XLA level instead was measured SLOWER
+    -- stencil fusions break across the stacked axis, r3 and r5 -- the
+    win requires the fusion to happen inside one kernel.)
+    """
+    AX, AY = 3, 2
+    crx = crx_ref[:]
+    cry = cry_ref[:]
+    xfx = xfx_ref[:]
+    yfx = yfx_ref[:]
+    apx = apx_ref[:][:, None]
+    apy = apy_ref[:][:, None]
+
+    def tp(qx, qy, mfx, mfy, ax, ay):
+        fy2 = _ppm_flux(qy, cry, AY, hord) * mfy
+        ra_y = ay + (mfy - _roll(mfy, -1, AY))
+        q_y = 0.5 * (qy + (qy * ay + (fy2 - _roll(fy2, -1, AY))) / ra_y)
+        fx2 = _ppm_flux(qx, crx, AX, hord) * mfx
+        ra_x = ax + (mfx - _roll(mfx, -1, AX))
+        q_x = 0.5 * (qx + (qx * ax + (fx2 - _roll(fx2, -1, AX))) / ra_x)
+        return (
+            _ppm_flux(q_y, crx, AX, hord) * mfx,
+            _ppm_flux(q_x, cry, AY, hord) * mfy,
+        )
+
+    dpx = dpx_ref[:]
+    dpy = dpy_ref[:]
+    fxd, fyd = tp(dpx, dpy, xfx, yfx, apx, apy)
+    fxd_ref[:] = fxd
+    fyd_ref[:] = fyd
+    adx = apx * dpx
+    ady = apy * dpy
+    fxt_ref[:], fyt_ref[:] = tp(
+        ptx_ref[:], pty_ref[:], fxd, fyd, adx, ady
+    )
+    fxw_ref[:], fyw_ref[:] = tp(
+        wx_ref[:], wy_ref[:], fxd, fyd, adx, ady
+    )
+    fxz_ref[:], fyz_ref[:] = tp(
+        dzx_ref[:], dzy_ref[:], xfx, yfx, apx, apy
+    )
+    fxo_ref[:], fyo_ref[:] = tp(
+        ox_ref[:], oy_ref[:], sfx_ref[:], sfy_ref[:], apx, apy
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("hord", "interpret"))
+def fv_tp_2d_multi5(
+    dpx, dpy, ptx, pty, wx, wy, dzx, dzy, ox, oy,
+    crx, cry, xfx, yfx, sfx, sfy, area_px, area_py,
+    hord: int, interpret: bool = False,
+):
+    """Fused replacement for the D stage's five fv_tp_2d calls.
+
+    Returns (fxd, fyd, fxt, fyt, fxw, fyw, fxz, fyz, fxo, fyo) --
+    bit-equivalent to calling ops.advection.fv_tp_2d per field with
+    (xfx, yfx, area) for delp/delz, (fxd, fyd, area*delp) for pt/w,
+    and (sfx, sfy, area) for the vorticity.  Areas are [F, N, N] or
+    [F, 1, N, N].
+    """
+    F, nz, N, _ = dpx.shape
+    apx = area_px.reshape(F, N, N)
+    apy = area_py.reshape(F, N, N)
+    # 16 io slabs + ~10 live temporaries per z-block: size the block
+    # against a raised VMEM budget (v5e has 128 MB per core)
+    pad_slab = (
+        ((N + 7) // 8 * 8) * ((N + 127) // 128 * 128) * 4
+    )
+    zb = int(min(nz, max(1, (40 * 1024 * 1024) // (60 * pad_slab))))
+    grid = (F, pl.cdiv(nz, zb))
+    field_spec = pl.BlockSpec(
+        (1, zb, N, N), lambda f, z: (f, z, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    area_spec = pl.BlockSpec(
+        (1, N, N), lambda f, z: (f, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(dpx.shape, dpx.dtype) for _ in range(10)
+    )
+    return pl.pallas_call(
+        functools.partial(_tp2d_multi_kernel, hord=hord),
+        grid=grid,
+        in_specs=[field_spec] * 16 + [area_spec] * 2,
+        out_specs=(field_spec,) * 10,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(dpx, dpy, ptx, pty, wx, wy, dzx, dzy, ox, oy,
+      crx, cry, xfx, yfx, sfx, sfy, apx, apy)
+
+
 @functools.partial(jax.jit, static_argnames=("hord", "interpret"))
 def fv_tp_2d_pallas(qp_x, qp_y, crx, cry, xfx, yfx, area_px, area_py,
                     hord: int, interpret: bool = False):

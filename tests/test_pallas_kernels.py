@@ -282,3 +282,92 @@ def test_column_pressures_pallas_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(pm), np.asarray(pm_ref), rtol=1e-5
     )
+
+
+def test_fv_tp_2d_multi5_matches_per_field():
+    """The fused 5-field substep transport (fv_tp_2d_multi5) matches
+    five per-field fv_tp_2d calls with the same wiring (delp fluxes
+    feeding the mass-weighted transports) to interpret-mode tolerance,
+    on physically scaled inputs (CFL ~ 0.2; random unscaled inputs let
+    the inner-update denominator cross zero and amplify the
+    interpret-vs-jnp rounding noise unboundedly)."""
+    from fv3net_tpu.ops.pallas_tp import fv_tp_2d_multi5
+
+    rng = np.random.RandomState(3)
+    F, nz, N = 2, 4, 136
+    f32 = lambda *s: jnp.asarray(  # noqa: E731
+        rng.randn(*s).astype(np.float32)
+    )
+    sh = (F, nz, N, N)
+    dpx = 50.0 + 2.0 * f32(*sh)
+    dpy = 50.0 + 2.0 * f32(*sh)
+    ptx, pty = 300.0 + 10 * f32(*sh), 300.0 + 10 * f32(*sh)
+    wx, wy = f32(*sh), f32(*sh)
+    dzx, dzy = -100.0 + 5 * f32(*sh), -100.0 + 5 * f32(*sh)
+    ox, oy = 1e-4 * f32(*sh), 1e-4 * f32(*sh)
+    crx, cry = 0.2 * f32(*sh), 0.2 * f32(*sh)
+    apx = jnp.abs(f32(F, N, N)) + 5.0
+    apy = jnp.abs(f32(F, N, N)) + 5.0
+    xfx = 0.2 * apx[:, None] * f32(*sh)
+    yfx = 0.2 * apy[:, None] * f32(*sh)
+    sfx = 0.2 * apx[:, None] * f32(*sh)
+    sfy = 0.2 * apy[:, None] * f32(*sh)
+    hord = 5
+    fx, fy = fv_tp_2d(
+        dpx, dpy, crx, cry, xfx, yfx, apx[:, None], apy[:, None], hord
+    )
+    ref = (fx, fy)
+    ref += fv_tp_2d(
+        ptx, pty, crx, cry, fx, fy,
+        apx[:, None] * dpx, apy[:, None] * dpy, hord,
+    )
+    ref += fv_tp_2d(
+        wx, wy, crx, cry, fx, fy,
+        apx[:, None] * dpx, apy[:, None] * dpy, hord,
+    )
+    ref += fv_tp_2d(
+        dzx, dzy, crx, cry, xfx, yfx, apx[:, None], apy[:, None], hord
+    )
+    ref += fv_tp_2d(
+        ox, oy, crx, cry, sfx, sfy, apx[:, None], apy[:, None], hord
+    )
+    got = fv_tp_2d_multi5(
+        dpx, dpy, ptx, pty, wx, wy, dzx, dzy, ox, oy,
+        crx, cry, xfx, yfx, sfx, sfy, apx, apy, hord, interpret=True,
+    )
+    sl = np.s_[:, :, 2:-2, 2:-2]
+    for name, a, b in zip(
+        "fxd fyd fxt fyt fxw fyw fxz fyz fxo fyo".split(), ref, got
+    ):
+        a_, b_ = np.asarray(a)[sl], np.asarray(b)[sl]
+        np.testing.assert_allclose(
+            b_, a_, rtol=5e-3, atol=1e-3,
+            err_msg=f"multi5 output {name}",
+        )
+
+
+def test_del4_filter_pallas_matches():
+    """The fused del-4 filter kernel equals sw.scalar_filter's jnp
+    form: the locally computed halo band of L(q) is exactly the
+    canonical exchanged value (fill conventions + per-physical-face
+    weight doubling), so one kernel pass replaces the
+    exchange-L-exchange-L chain."""
+    from fv3net_tpu.dycore.sw import SWMetrics, scalar_filter
+    from fv3net_tpu.grid import CubedSphereGrid
+    from fv3net_tpu.grid.halo import halo_exchange
+    from fv3net_tpu.ops.pallas_filter import del4_filter_pallas
+
+    n, h, nz = 122, 3, 3  # N = 128: the kernel's minimum width
+    g = CubedSphereGrid.make(n, halo=h)
+    m = SWMetrics.make(g, jnp.float32)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(6, nz, n, n).astype(np.float32))
+    ref = scalar_filter(q, m, 0.02)  # jnp path (pallas off on CPU)
+    qx = halo_exchange(q, h, fill="x")
+    qy = halo_exchange(q, h, fill="y")
+    got = del4_filter_pallas(
+        qx, qy, m.area_px, m.area_py, 0.02, h, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
