@@ -386,13 +386,13 @@ def main():
         else:
             _RESULT["detail"]["c192"] = (
                 "skipped (compile ~107 s exceeds remaining budget); "
-                "committed steady-state: 1046 ms/step, 79.9M "
+                "committed steady-state: 738.6 ms/step, 113.2M "
                 "updates/s, clean (bench_full_r5.json)"
             )
     else:
         _RESULT["detail"]["c192"] = (
             "skipped (compile ~107 s exceeds remaining budget); "
-            "committed steady-state: 1046 ms/step, 79.9M updates/s, "
+            "committed steady-state: 738.6 ms/step, 113.2M updates/s, "
             "clean (bench_full_r5.json)"
         )
 
@@ -410,7 +410,7 @@ def main():
     else:
         _RESULT["detail"]["coupled_c48"] = (
             "skipped (budget); the COMPILED TimeLoop (one dispatch "
-            "per step) measures ~109 ms/step at C48 on this chip -- "
+            "per step) measures ~108 ms/step at C48 on this chip -- "
             "committed artifact bench_full_r5.json"
         )
 
@@ -434,7 +434,8 @@ def main():
             _RESULT["detail"]["c384"] = "oom/error: " + repr(e)[:300]
     else:
         _RESULT["detail"]["c384"] = (
-            "runs on one chip since r4; compile ~360 s exceeds this "
+            "runs on one chip since r4; compile ~122 s + ~170 s host "
+            "build exceeds this "
             "budget -- committed steady-state artifact "
             "bench_full_r5.json (reproduce with BENCH_BUDGET_S=1500 "
             "python bench.py)"
